@@ -1,0 +1,77 @@
+"""File replay source for recorded 2-channel IQ.
+
+Reads the reference's interleaved int16 quad format ``i1,q1,i2,q2`` — the
+only replay format the reference fully implements (`RspDuo.cpp:150-179`,
+documented as the golden-data format in `test/unit/process/ambiguity/
+TestAmbiguity.cpp:39-69`) — in large blocks, converts to complex64 on the
+host, and pushes into both ring buffers.
+
+Unlike the reference's one-sample-at-a-time fread loop, blocks are read and
+converted vectorized; pacing can be real-time (fs samples/s, for live-like
+operation) or unpaced (as fast as the consumer drains, for benchmarks).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from blah2_tpu.capture.source import Source
+
+
+class FileReplaySource(Source):
+    def __init__(
+        self,
+        fs: float,
+        fc: float,
+        file: str,
+        loop: bool = True,
+        realtime: bool = False,
+        block_samples: int = 262144,
+        path: Optional[str] = None,
+        type_name: str = "RspDuo",
+    ):
+        super().__init__(type_name, fs, fc, path)
+        self.file = file
+        self.loop = bool(loop)
+        self.realtime = bool(realtime)
+        self.block_samples = int(block_samples)
+
+    @staticmethod
+    def decode_block(raw: np.ndarray):
+        """int16 quads (n,4) → (ch1, ch2) complex64 arrays."""
+        f = raw.astype(np.float32)
+        ch1 = (f[:, 0] + 1j * f[:, 1]).astype(np.complex64)
+        ch2 = (f[:, 2] + 1j * f[:, 3]).astype(np.complex64)
+        return ch1, ch2
+
+    def process(self, buffer1, buffer2) -> None:
+        self.replay(buffer1, buffer2, self.file, self.loop)
+
+    def replay(self, buffer1, buffer2, file: str, loop: bool) -> None:
+        t_next = time.monotonic()
+        while not self.stopped:
+            with open(file, "rb") as f:
+                while not self.stopped:
+                    raw = np.fromfile(f, dtype=np.int16,
+                                      count=self.block_samples * 4)
+                    n = len(raw) // 4
+                    if n == 0:
+                        break
+                    ch1, ch2 = self.decode_block(raw[: n * 4].reshape(n, 4))
+                    self.record(ch1, ch2)
+                    # Replay pushes only when space is free (RspDuo.cpp:169-178);
+                    # block until the consumer drains.
+                    if not buffer1.push_wait(ch1, timeout=5.0):
+                        buffer1.push(ch1)
+                    if not buffer2.push_wait(ch2, timeout=5.0):
+                        buffer2.push(ch2)
+                    if self.realtime:
+                        t_next += n / self.fs
+                        dt = t_next - time.monotonic()
+                        if dt > 0:
+                            time.sleep(dt)
+            if not loop:
+                break

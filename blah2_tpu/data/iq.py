@@ -1,0 +1,125 @@
+"""Host-side IQ sample ring buffer and per-channel spectrum metadata.
+
+The reference couples capture and process threads through a mutex-guarded
+``std::deque<std::complex<double>>`` pushed one sample at a time
+(`src/data/IqData.{h,cpp}`, `IqData.cpp:42-53`). On the TPU host that
+per-sample contract would dominate the CPI budget, so this rebuild uses a
+vectorized numpy ring with block push/pop under a condition variable: the
+capture side feeds contiguous blocks, the process side extracts one CPI of
+samples at a time and ships it to the device in a single transfer.
+
+Overwrite semantics match the reference: when full, the oldest samples are
+dropped (`IqData.cpp:42-53`). A blocking `push_wait` covers the replay path,
+which only pushes when space is available (`RspDuo.cpp:150-179`).
+
+`IqMetadata` carries the reference-channel spectrum published by the spectrum
+analyser, with the `IqData::to_json` wire contract (keys timestamp / min /
+max / mean / frequency / spectrum, spectrum in dB — `IqData.cpp:93-126`).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+
+from blah2_tpu.utils import jsonfmt
+
+
+class IqRingBuffer:
+    def __init__(self, capacity: int, dtype=np.complex64):
+        self.capacity = int(capacity)
+        self._buf = np.zeros(self.capacity, dtype=dtype)
+        self._start = 0  # index of oldest sample
+        self._len = 0
+        self._lock = threading.Lock()
+        self._not_empty = threading.Condition(self._lock)
+        self._not_full = threading.Condition(self._lock)
+        self.closed = False
+
+    def __len__(self) -> int:
+        with self._lock:
+            return self._len
+
+    def close(self) -> None:
+        with self._lock:
+            self.closed = True
+            self._not_empty.notify_all()
+            self._not_full.notify_all()
+
+    def _write(self, block: np.ndarray) -> None:
+        n = len(block)
+        end = (self._start + self._len) % self.capacity
+        first = min(n, self.capacity - end)
+        self._buf[end : end + first] = block[:first]
+        if n > first:
+            self._buf[: n - first] = block[first:]
+        overflow = max(0, self._len + n - self.capacity)
+        self._start = (self._start + overflow) % self.capacity
+        self._len = min(self._len + n, self.capacity)
+
+    def push(self, block: np.ndarray) -> None:
+        """Push a block, dropping the oldest samples if the ring is full."""
+        block = np.asarray(block)
+        if len(block) > self.capacity:
+            block = block[-self.capacity :]
+        with self._lock:
+            self._write(block)
+            self._not_empty.notify_all()
+
+    def push_wait(self, block: np.ndarray, timeout: Optional[float] = None) -> bool:
+        """Push a block, blocking until it fits (replay pacing)."""
+        block = np.asarray(block)
+        with self._lock:
+            while self.capacity - self._len < len(block) and not self.closed:
+                if not self._not_full.wait(timeout):
+                    return False
+            if self.closed:
+                return False
+            self._write(block)
+            self._not_empty.notify_all()
+            return True
+
+    def pop(self, n: int, timeout: Optional[float] = None) -> Optional[np.ndarray]:
+        """Pop the oldest ``n`` samples, blocking until available."""
+        with self._lock:
+            while self._len < n and not self.closed:
+                if not self._not_empty.wait(timeout):
+                    return None
+            if self._len < n:
+                return None
+            out = np.empty(n, dtype=self._buf.dtype)
+            first = min(n, self.capacity - self._start)
+            out[:first] = self._buf[self._start : self._start + first]
+            if n > first:
+                out[first:] = self._buf[: n - first]
+            self._start = (self._start + n) % self.capacity
+            self._len -= n
+            self._not_full.notify_all()
+            return out
+
+
+class IqMetadata:
+    """Reference-channel spectrum metadata (filled by the spectrum analyser)."""
+
+    def __init__(self):
+        self.frequency_khz = np.zeros(0, dtype=np.float64)
+        self.spectrum_db = np.zeros(0, dtype=np.float64)
+
+    def update(self, frequency_khz: np.ndarray, spectrum_db: np.ndarray) -> None:
+        self.frequency_khz = np.asarray(frequency_khz, dtype=np.float64)
+        self.spectrum_db = np.asarray(spectrum_db, dtype=np.float64)
+
+    def to_json(self, timestamp_ms: int) -> str:
+        spec = self.spectrum_db
+        finite = spec[np.isfinite(spec)]
+        doc = {
+            "timestamp": int(timestamp_ms),
+            "min": float(finite.min()) if finite.size else 0.0,
+            "max": float(finite.max()) if finite.size else 0.0,
+            "mean": float(finite.mean()) if finite.size else 0.0,
+            "frequency": [float(f) for f in self.frequency_khz],
+            "spectrum": [float(s) for s in spec],
+        }
+        return jsonfmt.dumps(doc)

@@ -1,0 +1,114 @@
+"""Wiener-Hopf FIR clutter canceller, TPU-native.
+
+Cancels direct-path/clutter returns from the surveillance channel by solving
+the Wiener-Hopf normal equations over clutter lags [delay_min, delay_max] and
+subtracting the FIR-filtered reference from the surveillance signal.
+
+Parity with reference `src/process/clutter/WienerHopf.{h,cpp}`:
+  - n_bins = delay_max − delay_min (reference quirk: no +1, `WienerHopf.cpp:12`)
+  - reference channel circularly shifted by delay_min (`WienerHopf.cpp:66`)
+  - autocorrelation a and cross-correlation b via full-CPI FFTs
+    (`WienerHopf.cpp:71-108`); Toeplitz matrix assembled Hermitian with the
+    lower triangle conjugated (`WienerHopf.cpp:85-97`)
+  - solve by Cholesky + triangular solves (`WienerHopf.cpp:111-122`); a failed
+    factorization skips the filter for that CPI (caller contract
+    `src/blah2.cpp:268-275`)
+  - filter applied by FFT convolution and subtracted (`WienerHopf.cpp:125-160`)
+
+TPU-first differences:
+  - single jitted program, complex64 by default; failure is detected by a
+    finite-check on the weights (Cholesky of a non-PD matrix yields NaN on
+    TPU rather than raising) and resolved with a `jnp.where` — no host branch;
+  - the convolution FFT length is Hamming-rounded: the reference uses
+    n_bins + n + 1 points (`WienerHopf.cpp:29,127-145`) but any length
+    ≥ n + n_bins − 1 yields the identical first n samples of the linear
+    convolution, so we round up to a 5-smooth size for the TPU FFT;
+  - optional diagonal loading stabilizes the f32 Cholesky (the reference
+    documents instability at f64: `WienerHopf.h:7`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from blah2_tpu.dsp.hamming import next_hamming
+
+
+class WienerHopfFilter:
+    def __init__(
+        self,
+        delay_min: int,
+        delay_max: int,
+        n_samples: int,
+        round_hamming: bool = True,
+        diag_load: float = 0.0,
+        dtype=jnp.complex64,
+    ):
+        self.delay_min = int(delay_min)
+        self.delay_max = int(delay_max)
+        self.n_bins = self.delay_max - self.delay_min
+        self.n_samples = int(n_samples)
+        self.diag_load = float(diag_load)
+        self.dtype = dtype
+        self.real_dtype = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+
+        min_conv = self.n_samples + self.n_bins - 1
+        self.nfft_conv = next_hamming(min_conv) if round_hamming else (
+            self.n_bins + self.n_samples + 1
+        )
+
+        nb = self.n_bins
+        i = np.arange(nb)[:, None]
+        j = np.arange(nb)[None, :]
+        self._abs_d = jnp.asarray(np.abs(i - j), dtype=jnp.int32)
+        self._lower = jnp.asarray(i > j)
+
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray):
+        """Filter one CPI.
+
+        Args:
+          x: reference channel, shape (n_samples,).
+          y: surveillance channel, shape (n_samples,).
+        Returns:
+          (y_filtered, ok): filtered surveillance (original y when the solve
+          failed) and a bool scalar success flag.
+        """
+        n = self.n_samples
+        nb = self.n_bins
+        x = x[:n].astype(self.dtype)
+        y = y[:n].astype(self.dtype)
+
+        # dataX[i] = x[(i - delay_min) mod n]  (`WienerHopf.cpp:66`)
+        xs = jnp.roll(x, self.delay_min)
+
+        xf = jnp.fft.fft(xs)
+        yf = jnp.fft.fft(y)
+
+        # Circular auto/cross correlation (normalized like the reference).
+        r = jnp.fft.ifft(xf * jnp.conj(xf))
+        a = jnp.conj(r[:nb])
+        b = jnp.fft.ifft(yf * jnp.conj(xf))[:nb]
+
+        # Hermitian Toeplitz: A[i,j] = conj(a[i-j]) for i>j, a[j-i] otherwise
+        # (`WienerHopf.cpp:85-97`).
+        av = a[self._abs_d]
+        mat = jnp.where(self._lower, jnp.conj(av), av)
+        if self.diag_load > 0.0:
+            load = self.diag_load * jnp.real(a[0])
+            mat = mat + load.astype(self.dtype) * jnp.eye(nb, dtype=self.dtype)
+
+        # Cholesky solve; NaNs signal a non-PD matrix (reference skips the CPI).
+        chol = jnp.linalg.cholesky(mat)
+        w = jax.scipy.linalg.cho_solve((chol, True), b)
+        ok = jnp.all(jnp.isfinite(w.real) & jnp.isfinite(w.imag))
+        w = jnp.where(ok, w, jnp.zeros_like(w))
+
+        # FIR apply: y <- y − (w * xs)[:n] by FFT convolution.
+        wf = jnp.fft.fft(w, n=self.nfft_conv)
+        xcf = jnp.fft.fft(xs, n=self.nfft_conv)
+        filt = jnp.fft.ifft(wf * xcf)[:n]
+        y_clean = y - filt
+
+        return jnp.where(ok, y_clean, y), ok

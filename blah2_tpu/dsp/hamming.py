@@ -1,0 +1,54 @@
+"""5-smooth ("Hamming number") FFT-size rounding.
+
+FFT lengths whose prime factors are all in {2, 3, 5} run fastest on both FFTW
+and XLA's TPU FFT, so correlation FFT sizes are rounded up to the next
+5-smooth number.
+
+Parity: reference `src/process/meta/HammingNumber.{h,cpp}` implements the same
+rounding via a lazy Hamming-sequence iterator (`next_hamming`,
+`HammingNumber.cpp:38-48`), with golden values 104→108, 3322→3375, 19043→19200
+(`test/unit/process/meta/TestHammingNumber.cpp:13-18`). This implementation
+instead searches the 3-exponent lattice directly, which is simpler and O(log³ n).
+"""
+
+from __future__ import annotations
+
+
+def is_hamming(value: int) -> bool:
+    """True if ``value`` has no prime factor other than 2, 3, 5."""
+    if value < 1:
+        return False
+    for p in (2, 3, 5):
+        while value % p == 0:
+            value //= p
+    return value == 1
+
+
+def next_hamming(value: int) -> int:
+    """Smallest 5-smooth number strictly greater than ``value``.
+
+    Matches the reference semantics: ``next_hamming(v)`` returns the first
+    Hamming number > v (so an already-smooth v is rounded *up* to the next one).
+    """
+    if value < 1:
+        return 1
+    best = None
+    # Enumerate 2^a * 3^b * 5^c just above `value` over the exponent lattice.
+    p5 = 1
+    while p5 <= 5 * (value + 1):
+        p35 = p5
+        while p35 <= 3 * (value + 1):
+            # smallest power of two making p35 * 2^a > value
+            candidate = p35
+            while candidate <= value:
+                candidate *= 2
+            if best is None or candidate < best:
+                best = candidate
+            p35 *= 3
+        p5 *= 5
+    return best
+
+
+def round_fft_size(value: int, round_hamming: bool = True) -> int:
+    """Round an FFT size up to a 5-smooth length if requested."""
+    return next_hamming(value) if round_hamming else value

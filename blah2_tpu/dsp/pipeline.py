@@ -1,0 +1,145 @@
+"""The fused per-CPI processing pipeline.
+
+One jitted XLA program per CPI replaces the reference's sequential stage calls
+in the hot loop (`src/blah2.cpp:245-361`): spectrum → Wiener-Hopf clutter
+filter → cross-ambiguity → map metrics → CFAR → centroid → interpolation.
+XLA fuses the elementwise stages between the FFTs/matmuls; the host receives
+only small products (dB map, spectrum, fixed-capacity detections).
+
+The tracker stays on the host (`blah2_tpu.tracker`): it is tiny, sequential
+and stateful — a poor fit for the device (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from blah2_tpu.config import Config
+from blah2_tpu.dsp.ambiguity import AmbiguityProcessor, map_metrics
+from blah2_tpu.dsp.cfar import CfarDetections, CfarDetector
+from blah2_tpu.dsp.centroid import CentroidFilter
+from blah2_tpu.dsp.clutter import WienerHopfFilter
+from blah2_tpu.dsp.interpolate import PeakInterpolator
+from blah2_tpu.dsp.spectrum import SpectrumAnalyser
+
+
+class CpiOutputs(NamedTuple):
+    db_map: jnp.ndarray        # (n_doppler_bins, n_delay_bins) absolute dB
+    noise_power: jnp.ndarray   # scalar dB
+    max_power: jnp.ndarray     # scalar dB (max − noise)
+    spectrum_db: jnp.ndarray   # (n_spectrum,) dB
+    clutter_ok: jnp.ndarray    # bool scalar
+    detections: Optional[CfarDetections]
+
+
+def _empty_detections() -> CfarDetections:
+    z = jnp.zeros((0,), dtype=jnp.float32)
+    zi = jnp.zeros((0,), dtype=jnp.int32)
+    return CfarDetections(
+        row=zi, col=zi, delay=z, doppler=z, snr=z,
+        valid=jnp.zeros((0,), dtype=bool), count=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+class CpiPipeline:
+    """Builds and jit-compiles the full CPI processor for one config."""
+
+    def __init__(
+        self,
+        config: Config,
+        max_detections: int = 128,
+        dtype=jnp.complex64,
+        spectrum_bandwidth: float = 2000.0,
+        diag_load: float = 0.0,
+        use_jit: bool = True,
+    ):
+        self.config = config
+        cap = config.capture
+        proc = config.process
+        n = config.n_samples
+
+        self.ambiguity = AmbiguityProcessor(
+            proc.ambiguity.delay_min,
+            proc.ambiguity.delay_max,
+            proc.ambiguity.doppler_min,
+            proc.ambiguity.doppler_max,
+            cap.fs,
+            n,
+            round_hamming=True,
+            dtype=dtype,
+        )
+        self.clutter: Optional[WienerHopfFilter] = None
+        if proc.clutter.enable:
+            self.clutter = WienerHopfFilter(
+                proc.clutter.delay_min,
+                proc.clutter.delay_max,
+                n,
+                diag_load=diag_load,
+                dtype=dtype,
+            )
+        # Spectrum bandwidth is hardcoded to 2 kHz in the reference
+        # (`src/blah2.cpp:198`); fc is plumbed from config (SURVEY §2.1 fix).
+        self.spectrum = SpectrumAnalyser(n, spectrum_bandwidth, cap.fc, dtype=dtype)
+
+        self.detection_enabled = proc.detection.enable
+        self.cfar: Optional[CfarDetector] = None
+        self.centroid: Optional[CentroidFilter] = None
+        self.interpolate: Optional[PeakInterpolator] = None
+        if self.detection_enabled:
+            self.cfar = CfarDetector(
+                proc.detection.pfa,
+                proc.detection.n_guard,
+                proc.detection.n_train,
+                proc.detection.min_delay,
+                proc.detection.min_doppler,
+                self.ambiguity.delay_axis,
+                self.ambiguity.doppler_axis,
+                max_detections=max_detections,
+            )
+            # Centroid Doppler window uses the *configured* CPI (1/tCpi), as in
+            # `src/blah2.cpp:186`; interpolation uses the map's true-CPI
+            # Doppler resolution (axis spacing, `Interpolate.cpp:81`).
+            self.centroid = CentroidFilter(
+                proc.detection.n_centroid,
+                proc.detection.n_centroid,
+                1.0 / proc.data.cpi,
+            )
+            self.interpolate = PeakInterpolator(
+                True,
+                True,
+                self.ambiguity.doppler_resolution,
+                self.ambiguity.n_doppler_bins,
+                self.ambiguity.n_delay_bins,
+            )
+
+        def fn(x: jnp.ndarray, y: jnp.ndarray) -> CpiOutputs:
+            spec_db = SpectrumAnalyser.to_db(self.spectrum(x))
+            if self.clutter is not None:
+                y, clutter_ok = self.clutter(x, y)
+            else:
+                clutter_ok = jnp.asarray(True)
+            z = self.ambiguity(x, y)
+            db, noise, max_power = map_metrics(z)
+            det = None
+            if self.detection_enabled:
+                det = self.cfar(z, noise)
+                det = self.centroid(det)
+                det = self.interpolate(det, db - noise)
+            else:
+                det = _empty_detections()
+            return CpiOutputs(
+                db_map=db,
+                noise_power=noise,
+                max_power=max_power,
+                spectrum_db=spec_db,
+                clutter_ok=clutter_ok,
+                detections=det,
+            )
+
+        self._fn = jax.jit(fn) if use_jit else fn
+
+    def __call__(self, x, y) -> CpiOutputs:
+        return self._fn(x, y)

@@ -1,0 +1,79 @@
+"""Reference-channel spectrum monitor.
+
+Parity with reference `src/process/spectrum/SpectrumAnalyser.{h,cpp}`:
+decimation = n // bandwidth, n_spectrum = n // decimation, nfft =
+n_spectrum · decimation (`SpectrumAnalyser.cpp:16-19`); FFT + fftshift-style
+index permutation (k + nfft//2 + 1) mod nfft + stride-decimation
+(`SpectrumAnalyser.cpp:41-55`).
+
+Intentional divergences:
+  - the center frequency is plumbed from config instead of the hardcoded
+    204.64 MHz (`SpectrumAnalyser.cpp:66`; flagged in SURVEY §2.1);
+  - the reference's frequency-axis loop runs a signed range on an unsigned
+    counter (`for (i = -nSpectrum/2; i < nSpectrum/2; ...)` with uint32 i,
+    `SpectrumAnalyser.cpp:62`), which never executes — we emit the intended
+    n_spectrum-point axis;
+  - the decimated bins are computed by polyphase folding + one small FFT
+    instead of a full-CPI FFT: selecting every `decimation`-th bin (offset r)
+    of an nfft-point FFT equals an n_spectrum-point FFT of the twiddle-folded
+    sequence, turning a multi-megapoint FFT into a reduction plus a tiny FFT.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class SpectrumAnalyser:
+    def __init__(
+        self,
+        n_samples: int,
+        bandwidth: float = 2000.0,
+        fc: float = 204_640_000.0,
+        dtype=jnp.complex64,
+    ):
+        self.n_samples = int(n_samples)
+        self.bandwidth = float(bandwidth)
+        self.fc = float(fc)
+        self.dtype = dtype
+
+        self.decimation = int(self.n_samples / self.bandwidth)
+        self.n_spectrum = self.n_samples // self.decimation
+        self.nfft = self.n_spectrum * self.decimation
+
+        ns, dec, nfft = self.n_spectrum, self.decimation, self.nfft
+
+        # Output bin k of the reference is F[(k*dec + nfft//2 + 1) mod nfft].
+        # Decompose each selected index as q*dec + r.
+        sel = (np.arange(ns, dtype=np.int64) * dec + nfft // 2 + 1) % nfft
+        r_off = sel % dec
+        assert np.all(r_off == r_off[0]), "stride offset must be uniform"
+        self._r = int(r_off[0])
+        # After folding with offset r, bin k of the small FFT is F[k*dec + r];
+        # selected output k corresponds to small-FFT bin q = sel // dec.
+        self._perm = jnp.asarray((sel // dec).astype(np.int32))
+
+        # Twiddle for the fold: w[j] = exp(-2πi j r / nfft), j over nfft,
+        # reshaped (dec, ns) to fold chunks of length ns.
+        tw = np.exp(-2j * np.pi * self._r * np.arange(nfft, dtype=np.float64) / nfft)
+        self._twiddle = jnp.asarray(tw.reshape(dec, ns), dtype=dtype)
+
+        # Frequency axis in kHz (intended reference semantics,
+        # `SpectrumAnalyser.cpp:58-68`).
+        offset = self.bandwidth / 2.0 if dec % 2 == 0 else 0.0
+        idx = np.arange(-(ns // 2), ns - ns // 2, dtype=np.float64)
+        self.frequency_khz = ((idx * self.bandwidth) + offset + self.fc) / 1000.0
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Complex decimated spectrum, shape (n_spectrum,)."""
+        x = x[: self.nfft].astype(self.dtype)
+        folded = jnp.sum(
+            x.reshape(self.decimation, self.n_spectrum) * self._twiddle, axis=0
+        )
+        f = jnp.fft.fft(folded)
+        return jnp.take(f, self._perm)
+
+    @staticmethod
+    def to_db(spectrum: jnp.ndarray) -> jnp.ndarray:
+        return 10.0 * jnp.log10(jnp.abs(spectrum))

@@ -1,0 +1,132 @@
+"""M-of-N delay-Doppler tracker (host-side).
+
+The tracker is tiny, sequential and stateful, so it runs on the host over the
+per-CPI detection products (SURVEY §7.3) rather than on the device.
+
+Parity with reference `src/process/tracker/Tracker.{h,cpp}`:
+  - ``process`` = update-then-initiate (`Tracker.cpp:31-50`);
+  - kinematic prediction: delay += (doppler·T·λ + ½·a·T²)/rangeRes,
+    doppler += a·T (`Tracker.cpp:126-135`), with rangeRes = c/fs and
+    λ = c/fc (`src/blah2.cpp:190-192`); golden value: delay 10 bins,
+    Doppler −20 Hz, acc 5 Hz/s, T=1 s → delay 9.821, Doppler −15
+    (`test/unit/process/tracker/TestTracker.cpp:74-83`);
+  - association gate ±1 delay bin, ±(1/cpi) Hz around the *prediction* —
+    the reference gates around uninitialized zeros (`Tracker.cpp:59-60,81-84`),
+    a known bug flagged in SURVEY §2.1 that we do not replicate;
+  - on association: current = detection, acceleration re-estimated as
+    Δdoppler/T, nInactive reset, state ASSOCIATED, M-of-N promotion
+    (`Tracker.cpp:86-96`);
+  - on miss: current = prediction, ACTIVE→COASTING, ASSOCIATED→TENTATIVE,
+    nInactive += 1, delete after n_delete misses (`Tracker.cpp:99-123`);
+  - initiation: each unassociated detection spawns one TENTATIVE track per
+    acceleration hypothesis on the grid ±max_acc at resolution 1/cpi²
+    (`Tracker.cpp:17-23,137-160`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from blah2_tpu.data.detection import Detection
+from blah2_tpu.data.track import TrackRecord, TrackState, TrackStore
+
+
+class Tracker:
+    def __init__(
+        self,
+        m: int,
+        n: int,
+        n_delete: int,
+        cpi: float,
+        max_acc_init: float,
+        range_res: float,
+        wavelength: float,
+    ):
+        self.m = int(m)
+        self.n = int(n)
+        self.n_delete = int(n_delete)
+        self.cpi = float(cpi)
+        self.max_acc_init = float(max_acc_init)
+        self.range_res = float(range_res)
+        self.wavelength = float(wavelength)
+        self.timestamp_ms: Optional[int] = None
+        self.store = TrackStore()
+
+        # Acceleration hypothesis grid: resolution 1/cpi², span ±max_acc.
+        resolution_acc = 1.0 / (self.cpi * self.cpi)
+        n_acc = int(self.max_acc_init / resolution_acc)
+        self.acc_init = [resolution_acc * (i - n_acc) for i in range(2 * n_acc + 1)]
+
+    def predict(self, current, acceleration: float, t: float):
+        """Kinematic prediction of (delay bins, doppler Hz)."""
+        delay, doppler = current[0], current[1]
+        delay_pred = delay + (
+            (doppler * t * self.wavelength) + (0.5 * acceleration * t * t)
+        ) / self.range_res
+        doppler_pred = doppler + acceleration * t
+        return (delay_pred, doppler_pred, 0.0)
+
+    def process(self, detection: Detection, timestamp_ms: int) -> TrackStore:
+        used = [False] * detection.n_detections
+        if len(self.store) > 0:
+            self._update(detection, timestamp_ms, used)
+        else:
+            self.timestamp_ms = timestamp_ms
+        self._initiate(detection, used)
+        return self.store
+
+    def _update(self, detection: Detection, timestamp_ms: int, used) -> None:
+        t = (timestamp_ms - (self.timestamp_ms or timestamp_ms)) / 1000.0
+        self.timestamp_ms = timestamp_ms
+        gate_doppler = 1.0 / self.cpi
+
+        to_remove = []
+        for rec in self.store.tracks:
+            prev_doppler = rec.current[1]
+            prediction = self.predict(rec.current, rec.acceleration, t)
+
+            associated = None
+            for j in range(detection.n_detections):
+                if used[j]:
+                    continue
+                if (
+                    abs(detection.delay[j] - prediction[0]) < 1.0
+                    and abs(detection.doppler[j] - prediction[1]) < gate_doppler
+                ):
+                    associated = j
+                    break
+
+            if associated is not None:
+                j = associated
+                point = (detection.delay[j], detection.doppler[j], detection.snr[j])
+                rec.current = point
+                rec.associated.append(point)
+                if t > 0:
+                    rec.acceleration = (detection.doppler[j] - prev_doppler) / t
+                rec.n_inactive = 0
+                rec.states.append(TrackState.ASSOCIATED)
+                self.store.promote(rec, self.m, self.n)
+                used[j] = True
+            else:
+                rec.current = prediction
+                if rec.state == TrackState.ACTIVE:
+                    rec.states.append(TrackState.COASTING)
+                elif rec.state == TrackState.ASSOCIATED:
+                    rec.states.append(TrackState.TENTATIVE)
+                else:
+                    rec.states.append(rec.state)
+                rec.n_inactive += 1
+                if rec.n_inactive > self.n_delete:
+                    to_remove.append(rec)
+
+        for rec in to_remove:
+            self.store.remove(rec)
+
+    def _initiate(self, detection: Detection, used) -> None:
+        for j in range(detection.n_detections):
+            if used[j]:
+                continue
+            point = (detection.delay[j], detection.doppler[j], detection.snr[j])
+            for acc in self.acc_init:
+                rec = self.store.add(point)
+                rec.acceleration = acc
