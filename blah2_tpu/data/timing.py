@@ -71,6 +71,8 @@ class StageTimer:
         return self.marks_us[0]
 
     def stage(self, name: str) -> None:
+        if not self.marks_us:
+            self.start()
         now = int(self._time.time() * 1e6)
         self.times_ms.append((now - self.marks_us[-1]) / 1000.0)
         self.names.append(name)

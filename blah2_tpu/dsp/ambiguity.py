@@ -96,7 +96,7 @@ class AmbiguityProcessor:
         self._sigma = sigma.astype(np.int32)
         p = np.arange(nd, dtype=np.float64)
         w = np.exp(-2j * np.pi * np.outer(sigma, p) / nd)
-        self._doppler_dft = jnp.asarray(w.astype(np.complex128), dtype=dtype)
+        self._doppler_dft = w.astype(np.dtype(dtype))
 
         # Doppler-middle pre-shift ramp (`Ambiguity.cpp:95-102`).
         if self.doppler_middle != 0.0:
@@ -107,7 +107,7 @@ class AmbiguityProcessor:
                 * self.doppler_middle
                 * (np.arange(n_used, dtype=np.float64) / self.fs)
             )
-            self._ramp = jnp.asarray(ramp, dtype=dtype)
+            self._ramp = ramp.astype(np.dtype(dtype))
         else:
             self._ramp = None
 
@@ -148,7 +148,7 @@ class AmbiguityProcessor:
                 self._doppler_dft, c, preferred_element_type=self.dtype
             )
         f = jnp.fft.fft(c, axis=0)
-        return jnp.take(f, jnp.asarray(self._sigma), axis=0)
+        return jnp.take(f, self._sigma, axis=0)
 
 
 def map_metrics(z: jnp.ndarray):

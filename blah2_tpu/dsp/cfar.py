@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -66,10 +67,10 @@ class CfarDetector:
         self.n_rows = len(doppler_axis)
         self.n_cols = len(delay_axis)
 
-        self._row_ok = jnp.asarray(np.abs(doppler_axis) >= self.min_doppler)
-        self._col_ok = jnp.asarray(delay_axis >= self.min_delay)
-        self._delay_axis = jnp.asarray(delay_axis.astype(np.float32))
-        self._doppler_axis = jnp.asarray(doppler_axis.astype(np.float32))
+        self._row_ok = np.abs(doppler_axis) >= self.min_doppler
+        self._col_ok = np.asarray(delay_axis >= self.min_delay)
+        self._delay_axis = delay_axis.astype(np.float32)
+        self._doppler_axis = doppler_axis.astype(np.float32)
 
         # Per-column valid train-cell count (depends only on geometry).
         g, t, nc = self.n_guard, self.n_train, self.n_cols
@@ -84,7 +85,7 @@ class CfarDetector:
             alpha = cnt * (self.pfa ** (-1.0 / np.maximum(cnt, 1)) - 1.0)
         # alpha/cnt scales the train *sum* directly: threshold = alpha * sum/cnt.
         scale = np.where(cnt > 0, alpha / np.maximum(cnt, 1), np.inf)
-        self._thresh_scale = jnp.asarray(scale.astype(np.float64), dtype=real_dtype)
+        self._thresh_scale = scale.astype(np.dtype(real_dtype))
 
     def __call__(self, z: jnp.ndarray, noise_power: jnp.ndarray) -> CfarDetections:
         """Run CFAR on a complex delay-Doppler map.
@@ -120,17 +121,22 @@ class CfarDetector:
         )
 
         # Fixed-capacity extraction in the reference's row-major scan order.
+        # top_k of (index where detected, else N) gives the first K hit
+        # indices — vmappable and TPU-friendly, unlike nonzero.
         flat = detect.reshape(-1)
+        n_cells = flat.shape[0]
         count = jnp.sum(flat).astype(jnp.int32)
-        (idx,) = jnp.nonzero(flat, size=self.max_detections, fill_value=0)
-        valid = jnp.arange(self.max_detections) < count
+        score = jnp.where(flat, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
+        idx = -jax.lax.top_k(-score, self.max_detections)[0]
+        valid = idx < n_cells
+        idx = jnp.minimum(idx, n_cells - 1)
         row = (idx // nc).astype(jnp.int32)
         col = (idx % nc).astype(jnp.int32)
         return CfarDetections(
             row=row,
             col=col,
-            delay=self._delay_axis[col],
-            doppler=self._doppler_axis[row],
+            delay=jnp.asarray(self._delay_axis)[col],
+            doppler=jnp.asarray(self._doppler_axis)[row],
             snr=snr_db[row, col],
             valid=valid,
             count=count,

@@ -33,7 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from blah2_tpu.dsp.hamming import next_hamming
+from blah2_tpu.dsp.hamming import next_hamming, next_tpu_fft_size
 
 
 class WienerHopfFilter:
@@ -45,7 +45,16 @@ class WienerHopfFilter:
         round_hamming: bool = True,
         diag_load: float = 0.0,
         dtype=jnp.complex64,
+        mode: str = "circular",
     ):
+        """``mode``: "circular" replicates the reference's circular
+        correlations exactly; "linear" uses linear (zero-extended)
+        correlations and shift — physically cleaner (the circular wrap is an
+        artifact of the reference's full-CPI FFT method), differs by
+        O(n_bins/n), and is what the sharded pipeline computes."""
+        if mode not in ("circular", "linear"):
+            raise ValueError(f"unknown clutter mode {mode!r}")
+        self.mode = mode
         self.delay_min = int(delay_min)
         self.delay_max = int(delay_max)
         self.n_bins = self.delay_max - self.delay_min
@@ -53,17 +62,18 @@ class WienerHopfFilter:
         self.diag_load = float(diag_load)
         self.dtype = dtype
         self.real_dtype = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+        self.nfft_corr = next_tpu_fft_size(self.n_samples + self.n_bins)
 
         min_conv = self.n_samples + self.n_bins - 1
-        self.nfft_conv = next_hamming(min_conv) if round_hamming else (
+        self.nfft_conv = next_tpu_fft_size(min_conv) if round_hamming else (
             self.n_bins + self.n_samples + 1
         )
 
         nb = self.n_bins
         i = np.arange(nb)[:, None]
         j = np.arange(nb)[None, :]
-        self._abs_d = jnp.asarray(np.abs(i - j), dtype=jnp.int32)
-        self._lower = jnp.asarray(i > j)
+        self._abs_d = np.abs(i - j).astype(np.int32)
+        self._lower = np.asarray(i > j)
 
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray):
         """Filter one CPI.
@@ -80,16 +90,29 @@ class WienerHopfFilter:
         x = x[:n].astype(self.dtype)
         y = y[:n].astype(self.dtype)
 
-        # dataX[i] = x[(i - delay_min) mod n]  (`WienerHopf.cpp:66`)
-        xs = jnp.roll(x, self.delay_min)
-
-        xf = jnp.fft.fft(xs)
-        yf = jnp.fft.fft(y)
-
-        # Circular auto/cross correlation (normalized like the reference).
-        r = jnp.fft.ifft(xf * jnp.conj(xf))
-        a = jnp.conj(r[:nb])
-        b = jnp.fft.ifft(yf * jnp.conj(xf))[:nb]
+        if self.mode == "circular":
+            # dataX[i] = x[(i - delay_min) mod n]  (`WienerHopf.cpp:66`)
+            xs = jnp.roll(x, self.delay_min)
+            xf = jnp.fft.fft(xs)
+            yf = jnp.fft.fft(y)
+            # Circular auto/cross correlation (as in the reference).
+            r = jnp.fft.ifft(xf * jnp.conj(xf))
+            a = jnp.conj(r[:nb])
+            b = jnp.fft.ifft(yf * jnp.conj(xf))[:nb]
+        else:
+            # Linear shift with zero fill, linear correlations via a padded FFT.
+            s = self.delay_min
+            if s > 0:
+                xs = jnp.concatenate([jnp.zeros(s, x.dtype), x[:-s]])
+            elif s < 0:
+                xs = jnp.concatenate([x[-s:], jnp.zeros(-s, x.dtype)])
+            else:
+                xs = x
+            m = self.nfft_corr
+            xf = jnp.fft.fft(xs, n=m)
+            yf = jnp.fft.fft(y, n=m)
+            a = jnp.conj(jnp.fft.ifft(xf * jnp.conj(xf))[:nb])
+            b = jnp.fft.ifft(yf * jnp.conj(xf))[:nb]
 
         # Hermitian Toeplitz: A[i,j] = conj(a[i-j]) for i>j, a[j-i] otherwise
         # (`WienerHopf.cpp:85-97`).

@@ -52,3 +52,19 @@ def next_hamming(value: int) -> int:
 def round_fft_size(value: int, round_hamming: bool = True) -> int:
     """Round an FFT size up to a 5-smooth length if requested."""
     return next_hamming(value) if round_hamming else value
+
+
+def next_tpu_fft_size(value: int) -> int:
+    """Smallest TPU-compiler-safe FFT length > ``value``.
+
+    Empirically (probed on v5e via the XLA TPU compiler), large FFTs need a
+    sufficient power-of-2 factor: 2·3⁵·5⁵ and 2²·5⁸ crash the compiler while
+    2⁵·3⁴·5⁴ and 2¹²·3·5³ compile. Small sizes (≲32k) work for any 5-smooth
+    (and even non-smooth) length. So: 5-smooth, and divisible by 32 once the
+    length exceeds 32768.
+    """
+    v = value
+    while True:
+        v = next_hamming(v)
+        if v <= 32768 or v % 32 == 0:
+            return v

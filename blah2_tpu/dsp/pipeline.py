@@ -55,6 +55,7 @@ class CpiPipeline:
         spectrum_bandwidth: float = 2000.0,
         diag_load: float = 0.0,
         use_jit: bool = True,
+        clutter_mode: str = "circular",
     ):
         self.config = config
         cap = config.capture
@@ -79,6 +80,7 @@ class CpiPipeline:
                 n,
                 diag_load=diag_load,
                 dtype=dtype,
+                mode=clutter_mode,
             )
         # Spectrum bandwidth is hardcoded to 2 kHz in the reference
         # (`src/blah2.cpp:198`); fc is plumbed from config (SURVEY §2.1 fix).

@@ -52,12 +52,12 @@ class SpectrumAnalyser:
         self._r = int(r_off[0])
         # After folding with offset r, bin k of the small FFT is F[k*dec + r];
         # selected output k corresponds to small-FFT bin q = sel // dec.
-        self._perm = jnp.asarray((sel // dec).astype(np.int32))
+        self._perm = (sel // dec).astype(np.int32)
 
         # Twiddle for the fold: w[j] = exp(-2πi j r / nfft), j over nfft,
         # reshaped (dec, ns) to fold chunks of length ns.
         tw = np.exp(-2j * np.pi * self._r * np.arange(nfft, dtype=np.float64) / nfft)
-        self._twiddle = jnp.asarray(tw.reshape(dec, ns), dtype=dtype)
+        self._twiddle = tw.reshape(dec, ns).astype(np.dtype(dtype))
 
         # Frequency axis in kHz (intended reference semantics,
         # `SpectrumAnalyser.cpp:58-68`).

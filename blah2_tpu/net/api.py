@@ -1,0 +1,220 @@
+"""REST API middleware with raw-TCP product ingest.
+
+A Python reimplementation of the reference's Node.js API layer
+(`api/server.js`), keeping the exact wire contract:
+
+  - six raw-TCP listeners (map/detection/track on 3001-3003, timestamp/
+    timing/iqdata on 4000-4002 per `config/config.yml:52-60`); each
+    accumulates chunks until the trailing ``}`` then swaps the latest JSON
+    into memory (`api/server.js:123-213`; the timestamp listener publishes
+    every chunk, `api/server.js:166-176`);
+  - REST endpoints ``/api/{map,detection,tracker,timestamp,timing,iqdata,
+    config,adsb2dd}``, ``/stash/{map,detection,iqdata,timing}``,
+    ``/capture`` and ``/capture/toggle`` (`api/server.js:48-117`) with
+    CORS/no-cache headers (`api/server.js:40-46`);
+  - the adsb2dd truth-query URL built from rx/tx geodetic config
+    (`api/server.js:72-93`).
+
+Differences: stashes update in-process on ingest instead of self-polling the
+REST API at 10 Hz (same windows/output shapes); the server can also be fed
+in-process (`publish``) when the radar runtime runs in the same process.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from blah2_tpu.config import Config
+from blah2_tpu.net.stash import (
+    DetectionStash,
+    IqDataStash,
+    MaxholdStash,
+    TimingStash,
+)
+
+PRODUCTS = ("map", "detection", "track", "timestamp", "timing", "iqdata")
+
+
+class ApiState:
+    def __init__(self):
+        self.products: Dict[str, str] = {p: "" for p in PRODUCTS}
+        self.capture = False
+        self.lock = threading.Lock()
+        self.maxhold = MaxholdStash()
+        self.detection_stash = DetectionStash()
+        self.iqdata_stash = IqDataStash()
+        self.timing_stash = TimingStash()
+
+    def publish(self, product: str, payload: str) -> None:
+        with self.lock:
+            self.products[product] = payload
+        if product == "map":
+            self.maxhold.update(payload)
+        elif product == "detection":
+            self.detection_stash.update(payload)
+        elif product == "iqdata":
+            self.iqdata_stash.update(payload)
+        elif product == "timing":
+            self.timing_stash.update(payload)
+
+    def get(self, product: str) -> str:
+        with self.lock:
+            return self.products.get(product, "")
+
+
+class _IngestHandler(socketserver.BaseRequestHandler):
+    """Accumulate chunks; publish on trailing '}' (timestamp: every chunk)."""
+
+    def handle(self):
+        product = self.server.product  # type: ignore[attr-defined]
+        state = self.server.state  # type: ignore[attr-defined]
+        buf = ""
+        while True:
+            try:
+                data = self.request.recv(4096)
+            except OSError:
+                break
+            if not data:
+                break
+            buf += data.decode(errors="replace")
+            if product == "timestamp":
+                state.publish(product, buf)
+                buf = ""
+            elif buf.endswith("}"):
+                state.publish(product, buf)
+                buf = ""
+
+
+class _IngestServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, product: str, state: ApiState):
+        super().__init__(addr, _IngestHandler)
+        self.product = product
+        self.state = state
+
+
+def _build_adsb2dd_url(config: Config) -> Optional[str]:
+    truth = config.truth or {}
+    adsb = truth.get("adsb", {}) or {}
+    if not adsb.get("enabled"):
+        return None
+    loc = config.location or {}
+    rx, tx = loc.get("rx", {}), loc.get("tx", {})
+    return (
+        f"http://{adsb.get('adsb2dd')}/api/dd"
+        f"?rx={rx.get('latitude')},{rx.get('longitude')},{rx.get('altitude')}"
+        f"&tx={tx.get('latitude')},{tx.get('longitude')},{tx.get('altitude')}"
+        f"&fc={config.capture.fc / 1_000_000}"
+        f"&server=http://{adsb.get('tar1090')}"
+    )
+
+
+class ApiServer:
+    def __init__(self, config: Config, web_root: Optional[str] = None):
+        self.config = config
+        self.state = ApiState()
+        self.web_root = web_root
+        self._servers = []
+        self._threads = []
+
+        state = self.state
+        cfg = config
+        adsb_url = _build_adsb2dd_url(config)
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _send(self, body: str, content_type="application/json",
+                      status=200):
+                data = body.encode()
+                self.send_response(status)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header(
+                    "Cache-Control", "private, no-cache, no-store, "
+                    "must-revalidate")
+                self.send_header("Expires", "-1")
+                self.send_header("Pragma", "no-cache")
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                path = self.path.split("?")[0]
+                routes = {
+                    "/api/map": lambda: state.get("map"),
+                    "/api/detection": lambda: state.get("detection"),
+                    "/api/tracker": lambda: state.get("track"),
+                    "/api/timestamp": lambda: state.get("timestamp"),
+                    "/api/timing": lambda: state.get("timing"),
+                    "/api/iqdata": lambda: state.get("iqdata"),
+                    "/stash/map": state.maxhold.get,
+                    "/stash/detection": state.detection_stash.get,
+                    "/stash/iqdata": state.iqdata_stash.get,
+                    "/stash/timing": state.timing_stash.get,
+                }
+                if path == "/":
+                    self._send("Hello World", "text/plain")
+                elif path in routes:
+                    self._send(routes[path]())
+                elif path == "/api/config":
+                    self._send(json.dumps(cfg.raw))
+                elif path == "/api/adsb2dd":
+                    if adsb_url:
+                        self._send(json.dumps({"url": adsb_url}))
+                    else:
+                        self._send("", status=400)
+                elif path == "/capture":
+                    self._send(json.dumps(state.capture))
+                elif path == "/capture/toggle":
+                    state.capture = not state.capture
+                    self._send("{}")
+                else:
+                    self._send("not found", "text/plain", 404)
+
+        self._handler_cls = Handler
+
+    def start(self, with_ingest: bool = True) -> None:
+        net = self.config.network
+        host = net.ip
+
+        http_server = ThreadingHTTPServer((host, net.api), self._handler_cls)
+        http_server.daemon_threads = True
+        self._servers.append(http_server)
+        t = threading.Thread(target=http_server.serve_forever, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+        if with_ingest:
+            ports = {
+                "map": net.map, "detection": net.detection,
+                "track": net.track, "timestamp": net.timestamp,
+                "timing": net.timing, "iqdata": net.iqdata,
+            }
+            for product, port in ports.items():
+                srv = _IngestServer((host, port), product, self.state)
+                self._servers.append(srv)
+                t = threading.Thread(target=srv.serve_forever, daemon=True)
+                t.start()
+                self._threads.append(t)
+
+    def publish(self, product: str, payload: str) -> None:
+        """In-process publish path (no TCP round trip)."""
+        self.state.publish(product, payload)
+
+    def stop(self) -> None:
+        for s in self._servers:
+            try:
+                s.shutdown()
+                s.server_close()
+            except Exception:
+                pass
+        self._servers.clear()

@@ -1,0 +1,146 @@
+"""Rolling-window product stashes.
+
+Parity with reference `api/stash/*.js`, which self-poll the REST API at 10 Hz
+and maintain rolling windows. Here they are in-process observers updated on
+each product publish (same windows and output shapes, no polling loop):
+
+  - maxhold (`maxhold.js`): last 20 CPI maps; serves the latest map JSON with
+    ``data`` replaced by the element-wise max over the window;
+  - detection (`detection.js`): detections of the last 300 s flattened into
+    parallel timestamp/delay/doppler/snr arrays;
+  - iqdata (`iqdata.js`): last 20 spectra as a waterfall — the latest iqdata
+    doc with ``spectrum``/``frequency``/``timestamp`` as lists-of-lists;
+  - timing (`timing.js`): per-stage timing series over the last 20 CPIs.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from typing import Any, Dict, List
+
+
+class MaxholdStash:
+    N_CPI = 20
+
+    def __init__(self):
+        self._maps: List[List[List[float]]] = []
+        self._latest: Dict[str, Any] = {}
+        self._lock = threading.Lock()
+
+    def update(self, map_json: str) -> None:
+        try:
+            doc = json.loads(map_json)
+        except json.JSONDecodeError:
+            return
+        with self._lock:
+            self._maps.append(doc["data"])
+            if len(self._maps) > self.N_CPI:
+                self._maps.pop(0)
+            rows = len(self._maps[0])
+            cols = len(self._maps[0][0]) if rows else 0
+            acc = [row[:] for row in self._maps[0]]
+            for m in self._maps[1:]:
+                for i in range(rows):
+                    mi = m[i]
+                    ai = acc[i]
+                    for j in range(cols):
+                        if mi[j] > ai[j]:
+                            ai[j] = mi[j]
+            doc["data"] = acc
+            self._latest = doc
+
+    def get(self) -> str:
+        with self._lock:
+            return json.dumps(self._latest) if self._latest else ""
+
+
+class DetectionStash:
+    WINDOW_S = 300
+
+    def __init__(self):
+        self._docs: List[Dict[str, Any]] = []
+        self._lock = threading.Lock()
+
+    def update(self, detection_json: str) -> None:
+        try:
+            doc = json.loads(detection_json)
+        except json.JSONDecodeError:
+            return
+        with self._lock:
+            self._docs.append(doc)
+            now = doc.get("timestamp", 0)
+            while self._docs and (now - self._docs[0].get("timestamp", 0)) \
+                    / 1000.0 > self.WINDOW_S:
+                self._docs.pop(0)
+
+    def get(self) -> str:
+        with self._lock:
+            ts, delay, doppler, snr = [], [], [], []
+            for d in self._docs:
+                for j in range(len(d.get("delay", []))):
+                    ts.append(d["timestamp"])
+                    delay.append(d["delay"][j])
+                    doppler.append(d["doppler"][j])
+                    snr.append(d["snr"][j])
+            return json.dumps(
+                {"timestamp": ts, "delay": delay, "doppler": doppler,
+                 "snr": snr}
+            )
+
+
+class IqDataStash:
+    N_CPI = 20
+
+    def __init__(self):
+        self._spectrum: List[Any] = []
+        self._frequency: List[Any] = []
+        self._timestamp: List[Any] = []
+        self._latest: Dict[str, Any] = {}
+        self._lock = threading.Lock()
+
+    def update(self, iqdata_json: str) -> None:
+        try:
+            doc = json.loads(iqdata_json)
+        except json.JSONDecodeError:
+            return
+        with self._lock:
+            for store, key in ((self._spectrum, "spectrum"),
+                               (self._frequency, "frequency"),
+                               (self._timestamp, "timestamp")):
+                store.append(doc.get(key))
+                if len(store) > self.N_CPI:
+                    store.pop(0)
+            doc["spectrum"] = list(self._spectrum)
+            doc["frequency"] = list(self._frequency)
+            doc["timestamp"] = list(self._timestamp)
+            self._latest = doc
+
+    def get(self) -> str:
+        with self._lock:
+            return json.dumps(self._latest) if self._latest else ""
+
+
+class TimingStash:
+    N_CPI = 20
+
+    def __init__(self):
+        self._series: Dict[str, List[Any]] = {}
+        self._lock = threading.Lock()
+
+    def update(self, timing_json: str) -> None:
+        try:
+            doc = json.loads(timing_json)
+        except json.JSONDecodeError:
+            return
+        with self._lock:
+            for key, val in doc.items():
+                if key in ("uptime", "nCpi"):
+                    continue
+                self._series.setdefault(key, []).append(val)
+                if len(self._series[key]) > self.N_CPI:
+                    self._series[key].pop(0)
+
+    def get(self) -> str:
+        with self._lock:
+            return json.dumps(self._series)

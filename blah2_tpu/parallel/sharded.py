@@ -1,0 +1,352 @@
+"""Multi-chip sharded CPI pipeline over a (cpi, pulse) mesh.
+
+The per-CPI chain — Wiener-Hopf clutter filter, cross-ambiguity, metrics,
+detection — runs as one jitted program whose heavy stages live inside a
+`jax.shard_map` region with *explicit* collectives (SURVEY §2.5):
+
+  - input IQ ``(B, n_pad)``: CPI batch sharded over ``cpi``; each CPI's time
+    axis sharded in contiguous pulse blocks over ``pulse`` (the radar analog
+    of sequence parallelism);
+  - clutter filter: per-device segmented correlations (batched local FFTs)
+    with an (n_bins−1)-sample *right-halo* `ppermute` from the next
+    neighbour; partial spectra `psum` over ``pulse``; the small Toeplitz /
+    Cholesky solve is computed replicated; the FIR apply is local with a
+    *left-halo* `ppermute` (overlap-save) — this is the overlap-save
+    boundary exchange of SURVEY §2.5 riding ICI;
+  - ambiguity range stage: per-device batched FFT cross-correlation over its
+    pulse block — fully local;
+  - ambiguity Doppler stage: each device multiplies its pulse block against
+    its column block of the shifted-DFT operator and the partial maps `psum`
+    over ``pulse`` — one all-reduce of the small (n_doppler × n_delay) map
+    replaces the reference's per-column FFT loop + corner turn
+    (`Ambiguity.cpp:152-169`);
+  - CFAR / centroid / interpolation run outside the shard_map on the
+    (cpi-sharded, pulse-replicated) map — elementwise + top_k, no further
+    communication.
+
+All FFTs are device-local (never partitioned), which both matches the TPU
+performance model and avoids XLA's sharded-FFT pitfalls. Clutter
+correlations are *linear* (zero-extended) rather than the reference's
+circular wrap — see `WienerHopfFilter(mode="linear")`; they differ by
+O(n_bins/n) and the linear form is exactly decomposable across shards.
+
+The pulse count is zero-padded to a multiple of the pulse-axis size with
+phantom pulses whose DFT columns are zero, so any mesh shape works for any
+config.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from blah2_tpu.config import Config
+from blah2_tpu.dsp.ambiguity import AmbiguityProcessor
+from blah2_tpu.dsp.cfar import CfarDetector
+from blah2_tpu.dsp.centroid import CentroidFilter
+from blah2_tpu.dsp.hamming import next_hamming, next_tpu_fft_size
+from blah2_tpu.dsp.interpolate import PeakInterpolator
+from blah2_tpu.dsp.pipeline import CpiOutputs, _empty_detections
+from blah2_tpu.dsp.spectrum import SpectrumAnalyser
+
+
+def pick_local_segments(block_len: int, n_lags: int,
+                        target: int = 16384) -> int:
+    """Number of overlap-save segments per device block: a divisor of
+    ``block_len`` giving segments ≥ max(4·n_lags, 1024), near ``target``."""
+    floor = max(4 * n_lags, 1024)
+    best = 1
+    for k in range(1, block_len + 1):
+        if k * k > block_len * 4:
+            break
+        if block_len % k == 0:
+            s = block_len // k
+            if s >= floor and abs(s - target) < abs(block_len // best - target):
+                best = k
+    return best
+
+
+def _shift_from_next(v: jnp.ndarray, count: int, axis_name: str) -> jnp.ndarray:
+    """First ``count`` samples of the *next* device's block; zeros on the
+    last device (linear/zero-extended boundary)."""
+    n_dev = jax.lax.axis_size(axis_name)
+    head = v[..., :count]
+    # send my head to my left neighbour (d -> d-1)
+    return jax.lax.ppermute(
+        head, axis_name, [(d, d - 1) for d in range(1, n_dev)]
+    )
+
+
+def _shift_from_prev(v: jnp.ndarray, count: int, axis_name: str) -> jnp.ndarray:
+    """Last ``count`` samples of the *previous* device's block; zeros on
+    device 0."""
+    n_dev = jax.lax.axis_size(axis_name)
+    tail = v[..., -count:]
+    return jax.lax.ppermute(
+        tail, axis_name, [(d, d + 1) for d in range(n_dev - 1)]
+    )
+
+
+class ShardedCpiPipeline:
+    def __init__(
+        self,
+        config: Config,
+        mesh: Mesh,
+        max_detections: int = 128,
+        dtype=jnp.complex64,
+        spectrum_bandwidth: float = 2000.0,
+        diag_load: float = 0.0,
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.dtype = dtype
+        self.n_pulse_axis = mesh.shape["pulse"]
+        self.n_cpi_axis = mesh.shape["cpi"]
+        proc = config.process
+        cap = config.capture
+        self.n_samples = n = config.n_samples
+
+        amb = AmbiguityProcessor(
+            proc.ambiguity.delay_min, proc.ambiguity.delay_max,
+            proc.ambiguity.doppler_min, proc.ambiguity.doppler_max,
+            cap.fs, n, round_hamming=True, dtype=dtype,
+        )
+        self.ambiguity = amb
+
+        # Pad the pulse axis to a multiple of the mesh's pulse dimension, AND
+        # far enough that n_pad = nd_pad·n_corr covers all n input samples
+        # (the spectrum analyser and clutter filter use the full CPI; samples
+        # beyond n_used land in phantom pulses whose DFT columns are zero).
+        nd = amb.n_doppler_bins
+        min_pulses = max(nd, -(-n // amb.n_corr))
+        self.nd_pad = -(-min_pulses // self.n_pulse_axis) * self.n_pulse_axis
+        self.n_pad = self.nd_pad * amb.n_corr
+        self.block_len = self.n_pad // self.n_pulse_axis
+        w = np.asarray(amb._doppler_dft)
+        w_pad = np.zeros((nd, self.nd_pad), dtype=w.dtype)
+        w_pad[:, :nd] = w
+        self._w_pad = w_pad.astype(np.dtype(dtype))
+        if amb._ramp is not None:
+            ramp_pad = np.zeros(self.n_pad, dtype=np.complex128)
+            ramp_pad[: amb.n_used_samples] = np.asarray(amb._ramp)
+            self._ramp_pad = ramp_pad.astype(np.dtype(dtype))
+        else:
+            self._ramp_pad = None
+
+        self.spectrum = SpectrumAnalyser(n, spectrum_bandwidth, cap.fc,
+                                         dtype=dtype)
+
+        self.clutter_enabled = proc.clutter.enable
+        if self.clutter_enabled:
+            self.nb = proc.clutter.delay_max - proc.clutter.delay_min
+            self.clutter_delay_min = proc.clutter.delay_min
+            if self.nb - 1 > self.block_len:
+                raise ValueError(
+                    "clutter lag window exceeds per-device block; reduce the "
+                    "pulse-axis size"
+                )
+            self.n_seg_local = pick_local_segments(self.block_len, self.nb)
+            self.seg_len = self.block_len // self.n_seg_local
+            self.nfft_seg = next_tpu_fft_size(self.seg_len + self.nb - 1)
+            nb = self.nb
+            i = np.arange(nb)[:, None]
+            j = np.arange(nb)[None, :]
+            self._abs_d = np.abs(i - j).astype(np.int32)
+            self._lower = np.asarray(i > j)
+            self.diag_load = diag_load
+
+        self.detection_enabled = proc.detection.enable
+        if self.detection_enabled:
+            self.cfar = CfarDetector(
+                proc.detection.pfa, proc.detection.n_guard,
+                proc.detection.n_train, proc.detection.min_delay,
+                proc.detection.min_doppler, amb.delay_axis, amb.doppler_axis,
+                max_detections=max_detections,
+            )
+            self.centroid = CentroidFilter(
+                proc.detection.n_centroid, proc.detection.n_centroid,
+                1.0 / proc.data.cpi,
+            )
+            self.interpolate = PeakInterpolator(
+                True, True, amb.doppler_resolution, amb.n_doppler_bins,
+                amb.n_delay_bins,
+            )
+
+        self._in_sharding = NamedSharding(mesh, P("cpi", "pulse"))
+        self._fn = jax.jit(self._step)
+
+    # -- inside shard_map: one CPI, one device block -------------------------
+    def _segments_right_halo(self, v_loc: jnp.ndarray) -> jnp.ndarray:
+        """(block_len,) → (n_seg_local, seg_len + nb − 1) with halo; the last
+        segment's halo comes from the next device (zeros at the global end)."""
+        h = self.nb - 1
+        main = v_loc.reshape(self.n_seg_local, self.seg_len)
+        halo_next = _shift_from_next(v_loc, h, "pulse")
+        if self.n_seg_local > 1:
+            tails = jnp.concatenate([main[1:, :h], halo_next[None, :]], axis=0)
+        else:
+            tails = halo_next[None, :]
+        return jnp.concatenate([main, tails], axis=1)
+
+    def _clutter_block(self, x_loc: jnp.ndarray, y_loc: jnp.ndarray):
+        """Per-device Wiener-Hopf: returns (y_loc_filtered, ok)."""
+        nb, f = self.nb, self.nfft_seg
+        s = self.clutter_delay_min
+
+        # Linear shift: xs[i] = x[i − s] with zero extension at the ends.
+        if s < 0:
+            incoming = _shift_from_next(x_loc, -s, "pulse")
+            xs_loc = jnp.concatenate([x_loc[-s:], incoming])
+        elif s > 0:
+            incoming = _shift_from_prev(x_loc, s, "pulse")
+            xs_loc = jnp.concatenate([incoming, x_loc[:-s]])
+        else:
+            xs_loc = x_loc
+
+        xs_ext = self._segments_right_halo(xs_loc)
+        y_ext = self._segments_right_halo(y_loc)
+        xs_seg = xs_loc.reshape(self.n_seg_local, self.seg_len)
+
+        xf_seg = jnp.conj(jnp.fft.fft(xs_seg, n=f, axis=-1))
+        spec_a = jnp.sum(jnp.fft.fft(xs_ext, n=f, axis=-1) * xf_seg, axis=0)
+        spec_b = jnp.sum(jnp.fft.fft(y_ext, n=f, axis=-1) * xf_seg, axis=0)
+        spec_a = jax.lax.psum(spec_a, "pulse")
+        spec_b = jax.lax.psum(spec_b, "pulse")
+        a = jnp.conj(jnp.fft.ifft(spec_a)[:nb])
+        b = jnp.fft.ifft(spec_b)[:nb]
+
+        # Replicated Toeplitz solve (410² is tiny).
+        av = a[self._abs_d]
+        mat = jnp.where(self._lower, jnp.conj(av), av)
+        if self.diag_load > 0.0:
+            mat = mat + (self.diag_load * jnp.real(a[0])).astype(mat.dtype) \
+                * jnp.eye(nb, dtype=mat.dtype)
+        chol = jnp.linalg.cholesky(mat)
+        wgt = jax.scipy.linalg.cho_solve((chol, True), b)
+        ok = jnp.all(jnp.isfinite(wgt.real) & jnp.isfinite(wgt.imag))
+        wgt = jnp.where(ok, wgt, jnp.zeros_like(wgt))
+
+        # Overlap-save FIR: left halo from the previous device.
+        h = self.nb - 1
+        halo_prev = _shift_from_prev(xs_loc, h, "pulse")
+        main = xs_seg
+        if self.n_seg_local > 1:
+            heads = jnp.concatenate(
+                [halo_prev[None, :], main[:-1, self.seg_len - h:]], axis=0
+            )
+        else:
+            heads = halo_prev[None, :]
+        ext = jnp.concatenate([heads, main], axis=1)
+        wf = jnp.fft.fft(wgt, n=f)
+        conv = jnp.fft.ifft(jnp.fft.fft(ext, n=f, axis=-1) * wf[None, :],
+                            axis=-1)
+        filt = conv[:, h : h + self.seg_len].reshape(self.block_len)
+        y2 = y_loc - filt
+        return jnp.where(ok, y2, y_loc), ok
+
+    def _ambiguity_block(self, x_loc: jnp.ndarray, y_loc: jnp.ndarray):
+        """Per-device range + Doppler stages; psum over pulse → full map."""
+        amb = self.ambiguity
+        nc, nfft = amb.n_corr, amb.nfft
+        ndp_l = self.nd_pad // self.n_pulse_axis
+        d = jax.lax.axis_index("pulse")
+
+        if self._ramp_pad is not None:
+            ramp = jax.lax.dynamic_slice(
+                self._ramp_pad, ((d * self.block_len).astype(jnp.int32),), (self.block_len,)
+            )
+            x_loc = x_loc * ramp
+
+        xp = x_loc.reshape(ndp_l, nc)
+        yp = y_loc.reshape(ndp_l, nc)
+        xf = jnp.fft.fft(xp, n=nfft, axis=-1)
+        yf = jnp.fft.fft(yp, n=nfft, axis=-1)
+        z = jnp.fft.ifft(yf * jnp.conj(xf), axis=-1)
+        c = jnp.roll(z, shift=-amb.delay_min, axis=-1)[:, : amb.n_delay_bins]
+
+        w_blk = jax.lax.dynamic_slice(
+            self._w_pad, (jnp.int32(0), (d * ndp_l).astype(jnp.int32)), (amb.n_doppler_bins, ndp_l)
+        )
+        partial = jnp.matmul(w_blk, c, preferred_element_type=self.dtype)
+        return jax.lax.psum(partial, "pulse")
+
+    # -- the jitted step -----------------------------------------------------
+    def _step(self, xb: jnp.ndarray, yb: jnp.ndarray) -> CpiOutputs:
+        """xb, yb: (B, n_pad) complex, sharded (cpi, pulse)."""
+        xb = xb.astype(self.dtype)
+        yb = yb.astype(self.dtype)
+
+        def block_fn(x_blk, y_blk):
+            # x_blk: (B_local, block_len) on this device.
+            def one_cpi(x_loc, y_loc):
+                if self.clutter_enabled:
+                    y2, ok = self._clutter_block(x_loc, y_loc)
+                else:
+                    y2, ok = y_loc, jnp.asarray(True)
+                z = self._ambiguity_block(x_loc, y2)
+                return z, ok
+
+            return jax.vmap(one_cpi)(x_blk, y_blk)
+
+        z, clutter_ok = jax.shard_map(
+            block_fn,
+            mesh=self.mesh,
+            in_specs=(P("cpi", "pulse"), P("cpi", "pulse")),
+            out_specs=(P("cpi", None, None), P("cpi")),
+            check_vma=False,
+        )(xb, yb)
+
+        # Spectrum on the original-length slice (small final FFT; the fold
+        # reduction is partitioner-friendly — no sharded FFT dims).
+        spec = jax.vmap(self.spectrum)(xb[:, : self.spectrum.nfft])
+        spec_db = SpectrumAnalyser.to_db(spec)
+
+        db = 10.0 * jnp.log10(jnp.abs(z))
+        noise = jnp.mean(db, axis=(-2, -1))
+        raw_max = jnp.maximum(0.0, jnp.max(db, axis=(-2, -1)))
+        max_power = raw_max - noise
+
+        if self.detection_enabled:
+            def detect_one(z_i, noise_i, db_i):
+                det = self.cfar(z_i, noise_i)
+                det = self.centroid(det)
+                return self.interpolate(det, db_i - noise_i)
+
+            det = jax.vmap(detect_one)(z, noise, db)
+        else:
+            det = jax.vmap(lambda _: _empty_detections())(noise)
+
+        return CpiOutputs(
+            db_map=db, noise_power=noise, max_power=max_power,
+            spectrum_db=spec_db, clutter_ok=clutter_ok, detections=det,
+        )
+
+    # -- public --------------------------------------------------------------
+    def shard_inputs(self, xb, yb) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Pad (B, n_samples) host arrays to n_pad and place on the mesh."""
+        xb = np.asarray(xb)
+        yb = np.asarray(yb)
+        if xb.ndim == 1:
+            xb, yb = xb[None], yb[None]
+        if xb.shape[0] % self.n_cpi_axis:
+            raise ValueError(
+                f"batch {xb.shape[0]} not divisible by cpi axis "
+                f"{self.n_cpi_axis}"
+            )
+        pad = self.n_pad - xb.shape[1]
+        if pad < 0:
+            xb, yb = xb[:, : self.n_pad], yb[:, : self.n_pad]
+        elif pad > 0:
+            xb = np.pad(xb, ((0, 0), (0, pad)))
+            yb = np.pad(yb, ((0, 0), (0, pad)))
+        xj = jax.device_put(jnp.asarray(xb, dtype=self.dtype), self._in_sharding)
+        yj = jax.device_put(jnp.asarray(yb, dtype=self.dtype), self._in_sharding)
+        return xj, yj
+
+    def __call__(self, xb, yb) -> CpiOutputs:
+        return self._fn(xb, yb)

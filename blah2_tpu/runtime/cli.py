@@ -1,0 +1,69 @@
+"""CLI entry point: ``python -m blah2_tpu.runtime.cli --config <file.yml>``.
+
+Mirrors the reference binary's interface ``blah2 -c config.yml``
+(`src/blah2.cpp:387-436`), plus flags for the TPU build: platform selection,
+CPI count limits, in-process vs TCP API wiring, and a web root for the
+display layer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="blah2_tpu",
+                                     description="TPU-native passive radar")
+    parser.add_argument("--config", "-c", required=True,
+                        help="YAML config file (blah2 schema)")
+    parser.add_argument("--cpis", type=int, default=None,
+                        help="stop after N CPIs (default: run forever)")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu, tpu)")
+    parser.add_argument("--no-api", action="store_true",
+                        help="do not start the REST API server")
+    parser.add_argument("--tcp-egress", action="store_true",
+                        help="send products over the six TCP streams "
+                             "(reference wire contract) instead of "
+                             "in-process publishing")
+    parser.add_argument("--web-root", default=None,
+                        help="serve the web frontend from this directory")
+    parser.add_argument("--quiet", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from blah2_tpu.config import load_config
+    from blah2_tpu.runtime.radar import RadarRuntime
+
+    config = load_config(args.config)
+
+    api_server = None
+    if not args.no_api:
+        from blah2_tpu.net.api import ApiServer
+
+        api_server = ApiServer(config, web_root=args.web_root)
+        api_server.start(with_ingest=args.tcp_egress)
+        print(f"API on http://{config.network.ip}:{config.network.api}",
+              flush=True)
+
+    runtime = RadarRuntime(config, api_server=api_server,
+                           use_tcp_egress=args.tcp_egress)
+    runtime.install_signal_handlers()
+    runtime.start_capture()
+    try:
+        runtime.run(n_cpis=args.cpis, quiet=args.quiet)
+    finally:
+        runtime.stop()
+        if api_server is not None:
+            api_server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,116 @@
+"""End-to-end runtime test: synthetic capture → CPI loop → API products."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from blah2_tpu.config import load_config
+from blah2_tpu.net.api import ApiServer
+from blah2_tpu.runtime.radar import RadarRuntime
+
+CONFIG = "config/config-synthetic.yml"
+
+
+@pytest.fixture(scope="module")
+def radar_products():
+    cfg = load_config(CONFIG)
+    # move ports to avoid collisions with any other instance
+    cfg.network.api = 18300
+    cfg.network.map = 18301
+    cfg.network.detection = 18302
+    cfg.network.track = 18303
+    cfg.network.timestamp = 18400
+    cfg.network.timing = 18401
+    cfg.network.iqdata = 18402
+
+    api = ApiServer(cfg)
+    api.start(with_ingest=False)
+    runtime = RadarRuntime(cfg, api_server=api)
+    runtime.start_capture()
+    runtime.run(n_cpis=3, quiet=True)
+    runtime.stop()
+
+    def get(path):
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{cfg.network.api}{path}", timeout=5
+        ) as r:
+            return r.read().decode()
+
+    products = {
+        p: get(f"/api/{p}")
+        for p in ("map", "detection", "tracker", "timestamp", "timing",
+                  "iqdata", "config")
+    }
+    products["stash_map"] = get("/stash/map")
+    products["stash_detection"] = get("/stash/detection")
+    products["stash_timing"] = get("/stash/timing")
+    products["stash_iqdata"] = get("/stash/iqdata")
+    products["capture"] = get("/capture")
+    api.stop()
+    return cfg, products
+
+
+def test_map_product(radar_products):
+    cfg, p = radar_products
+    doc = json.loads(p["map"])
+    assert doc["nRows"] > 0 and doc["nCols"] == 111
+    assert len(doc["data"]) == doc["nRows"]
+    # delay axis is in bistatic km after delay_bin_to_km
+    assert doc["delay"][0] < 0 < doc["delay"][-1]
+    assert doc["maxPower"] > 10  # the injected targets stand out
+
+
+def test_detection_product(radar_products):
+    cfg, p = radar_products
+    doc = json.loads(p["detection"])
+    assert len(doc["delay"]) >= 1
+    # detections reported in km: target at 40 bins ⇒ 40·(c/fs)/1000 ≈ 60 km
+    km = 40 * 299792458 / cfg.capture.fs / 1000
+    assert any(abs(d - km) < 5 for d in doc["delay"])
+
+
+def test_tracker_product(radar_products):
+    _, p = radar_products
+    doc = json.loads(p["tracker"])
+    assert doc["n"] > 0
+    assert "nActive" in doc and "data" in doc
+
+
+def test_timing_and_timestamp(radar_products):
+    _, p = radar_products
+    t = json.loads(p["timing"])
+    assert t["nCpi"] == 3
+    assert "cpi" in t and "ambiguity_processing" in t
+    assert p["timestamp"].isdigit()
+
+
+def test_iqdata_product(radar_products):
+    _, p = radar_products
+    doc = json.loads(p["iqdata"])
+    assert len(doc["spectrum"]) == len(doc["frequency"]) > 0
+
+
+def test_config_endpoint(radar_products):
+    cfg, p = radar_products
+    doc = json.loads(p["config"])
+    assert doc["capture"]["fs"] == cfg.capture.fs
+
+
+def test_stashes(radar_products):
+    _, p = radar_products
+    maxhold = json.loads(p["stash_map"])
+    assert maxhold["data"]
+    det = json.loads(p["stash_detection"])
+    assert len(det["delay"]) == len(det["timestamp"]) >= 1
+    timing = json.loads(p["stash_timing"])
+    assert len(timing["cpi"]) == 3
+    iq = json.loads(p["stash_iqdata"])
+    assert len(iq["spectrum"]) == 3  # 3 CPIs in the waterfall
+
+
+def test_capture_toggle(radar_products):
+    cfg, p = radar_products
+    assert p["capture"] == "false"
