@@ -23,6 +23,8 @@ in-process (`publish``) when the radar runtime runs in the same process.
 from __future__ import annotations
 
 import json
+import mimetypes
+import os
 import socket
 import socketserver
 import threading
@@ -127,6 +129,7 @@ class ApiServer:
         state = self.state
         cfg = config
         adsb_url = _build_adsb2dd_url(config)
+        web_root_abs = os.path.realpath(web_root) if web_root else None
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):  # quiet
@@ -147,6 +150,34 @@ class ApiServer:
                 self.end_headers()
                 self.wfile.write(data)
 
+            def _send_file(self, path: str) -> bool:
+                """Serve a static file from the web root (the reference's
+                httpd web container, `docker-compose.yml:33-43`). Directory
+                paths resolve to index.html; traversal outside the root is
+                rejected."""
+                if web_root_abs is None:
+                    return False
+                rel = path.lstrip("/")
+                full = os.path.realpath(os.path.join(web_root_abs, rel))
+                if not (full == web_root_abs
+                        or full.startswith(web_root_abs + os.sep)):
+                    return False
+                if os.path.isdir(full):
+                    full = os.path.join(full, "index.html")
+                if not os.path.isfile(full):
+                    return False
+                ctype = (mimetypes.guess_type(full)[0]
+                         or "application/octet-stream")
+                with open(full, "rb") as f:
+                    data = f.read()
+                self.send_response(200)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return True
+
             def do_GET(self):
                 path = self.path.split("?")[0]
                 routes = {
@@ -161,7 +192,7 @@ class ApiServer:
                     "/stash/iqdata": state.iqdata_stash.get,
                     "/stash/timing": state.timing_stash.get,
                 }
-                if path == "/":
+                if path == "/" and web_root_abs is None:
                     self._send("Hello World", "text/plain")
                 elif path in routes:
                     self._send(routes[path]())
@@ -177,6 +208,8 @@ class ApiServer:
                 elif path == "/capture/toggle":
                     state.capture = not state.capture
                     self._send("{}")
+                elif self._send_file(path):
+                    pass
                 else:
                     self._send("not found", "text/plain", 404)
 

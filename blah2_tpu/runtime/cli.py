@@ -28,8 +28,13 @@ def main(argv=None) -> int:
                         help="send products over the six TCP streams "
                              "(reference wire contract) instead of "
                              "in-process publishing")
-    parser.add_argument("--web-root", default=None,
-                        help="serve the web frontend from this directory")
+    default_web = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "web")
+    parser.add_argument("--web-root",
+                        default=default_web if os.path.isdir(default_web)
+                        else None,
+                        help="serve the web frontend from this directory "
+                             "(default: the repo's web/)")
     parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
 
