@@ -50,20 +50,44 @@ class FileReplaySource(Source):
     def process(self, buffer1, buffer2) -> None:
         self.replay(buffer1, buffer2, self.file, self.loop)
 
+    class _NumpyReader:
+        """Fallback block reader matching NativeReplayReader's interface."""
+
+        def __init__(self, file: str):
+            self._f = open(file, "rb")
+
+        def read(self, max_samples: int):
+            raw = np.fromfile(self._f, dtype=np.int16, count=max_samples * 4)
+            n = len(raw) // 4  # partial trailing quads dropped
+            return FileReplaySource.decode_block(raw[: n * 4].reshape(n, 4))
+
+        def rewind(self) -> None:
+            self._f.seek(0)
+
+        def close(self) -> None:
+            self._f.close()
+
+    def _open_reader(self, file: str):
+        """Native int16-quad block reader when built, else numpy."""
+        from blah2_tpu import native
+
+        if native.available():
+            return native.NativeReplayReader(file)
+        return self._NumpyReader(file)
+
     def replay(self, buffer1, buffer2, file: str, loop: bool) -> None:
         t_next = time.monotonic()
-        while not self.stopped:
-            with open(file, "rb") as f:
+        reader = self._open_reader(file)
+        try:
+            while not self.stopped:
                 while not self.stopped:
-                    raw = np.fromfile(f, dtype=np.int16,
-                                      count=self.block_samples * 4)
-                    n = len(raw) // 4
+                    ch1, ch2 = reader.read(self.block_samples)
+                    n = len(ch1)
                     if n == 0:
                         break
-                    ch1, ch2 = self.decode_block(raw[: n * 4].reshape(n, 4))
                     self.record(ch1, ch2)
-                    # Replay pushes only when space is free (RspDuo.cpp:169-178);
-                    # block until the consumer drains.
+                    # Replay pushes only when space is free
+                    # (RspDuo.cpp:169-178); block until the consumer drains.
                     if not buffer1.push_wait(ch1, timeout=5.0):
                         buffer1.push(ch1)
                     if not buffer2.push_wait(ch2, timeout=5.0):
@@ -73,5 +97,8 @@ class FileReplaySource(Source):
                         dt = t_next - time.monotonic()
                         if dt > 0:
                             time.sleep(dt)
-            if not loop:
-                break
+                if not loop:
+                    break
+                reader.rewind()
+        finally:
+            reader.close()

@@ -66,9 +66,12 @@ class RadarRuntime:
         self.pipeline = CpiPipeline(config, max_detections=max_detections)
         amb = self.pipeline.ambiguity
 
+        from blah2_tpu.native import make_ring_buffer
+
         self.n_samples = config.n_samples
-        self.buffer1 = IqRingBuffer(config.buffer_samples)
-        self.buffer2 = IqRingBuffer(config.buffer_samples)
+        # Native C++ ring buffers when built (make -C native), else Python.
+        self.buffer1 = make_ring_buffer(config.buffer_samples)
+        self.buffer2 = make_ring_buffer(config.buffer_samples)
 
         self.capture = Capture(
             config.capture.device_type, config.capture.fs, config.capture.fc,
