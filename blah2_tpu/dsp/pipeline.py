@@ -117,7 +117,13 @@ class CpiPipeline:
                 self.ambiguity.n_delay_bins,
             )
 
-        def fn(x: jnp.ndarray, y: jnp.ndarray) -> CpiOutputs:
+        def fn(xp: jnp.ndarray, yp: jnp.ndarray) -> CpiOutputs:
+            # Inputs are float real/imag planes (n, 2): complex64 host<->device
+            # transfers are unsupported on some TPU transports, and two f32
+            # planes are the natural TPU layout anyway. Complex is formed
+            # on-device.
+            x = jax.lax.complex(xp[:, 0], xp[:, 1]).astype(dtype)
+            y = jax.lax.complex(yp[:, 0], yp[:, 1]).astype(dtype)
             spec_db = SpectrumAnalyser.to_db(self.spectrum(x))
             if self.clutter is not None:
                 y, clutter_ok = self.clutter(x, y)
@@ -142,6 +148,23 @@ class CpiPipeline:
             )
 
         self._fn = jax.jit(fn) if use_jit else fn
+        self._plane_dtype = jnp.float64 if dtype == jnp.complex128 \
+            else jnp.float32
+
+    @staticmethod
+    def to_planes(x, plane_dtype=jnp.float32):
+        """complex array → (n, 2) real/imag planes (zero-copy for numpy)."""
+        import numpy as np
+
+        if isinstance(x, np.ndarray) and x.dtype == np.complex64 \
+                and plane_dtype == jnp.float32:
+            return np.ascontiguousarray(x).view(np.float32).reshape(-1, 2)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
+            return jnp.stack([jnp.real(x), jnp.imag(x)],
+                             axis=-1).astype(plane_dtype)
+        return jnp.asarray(x, plane_dtype)  # already planes
 
     def __call__(self, x, y) -> CpiOutputs:
-        return self._fn(x, y)
+        """Accepts complex IQ arrays or pre-split (n, 2) float planes."""
+        return self._fn(self.to_planes(x, self._plane_dtype),
+                        self.to_planes(y, self._plane_dtype))

@@ -177,7 +177,7 @@ class ShardedCpiPipeline:
                 amb.n_delay_bins,
             )
 
-        self._in_sharding = NamedSharding(mesh, P("cpi", "pulse"))
+        self._in_sharding = NamedSharding(mesh, P("cpi", "pulse", None))
         self._fn = jax.jit(self._step)
 
     # -- inside shard_map: one CPI, one device block -------------------------
@@ -276,10 +276,13 @@ class ShardedCpiPipeline:
         return jax.lax.psum(partial, "pulse")
 
     # -- the jitted step -----------------------------------------------------
-    def _step(self, xb: jnp.ndarray, yb: jnp.ndarray) -> CpiOutputs:
-        """xb, yb: (B, n_pad) complex, sharded (cpi, pulse)."""
-        xb = xb.astype(self.dtype)
-        yb = yb.astype(self.dtype)
+    def _step(self, xbp: jnp.ndarray, ybp: jnp.ndarray) -> CpiOutputs:
+        """xbp, ybp: (B, n_pad, 2) float real/imag planes, sharded
+        (cpi, pulse, None). Complex is formed on-device: complex host->device
+        transfers are unsupported on some TPU transports, and split planes
+        are the natural layout there anyway."""
+        xb = jax.lax.complex(xbp[..., 0], xbp[..., 1]).astype(self.dtype)
+        yb = jax.lax.complex(ybp[..., 0], ybp[..., 1]).astype(self.dtype)
 
         def block_fn(x_blk, y_blk):
             # x_blk: (B_local, block_len) on this device.
@@ -344,8 +347,11 @@ class ShardedCpiPipeline:
         elif pad > 0:
             xb = np.pad(xb, ((0, 0), (0, pad)))
             yb = np.pad(yb, ((0, 0), (0, pad)))
-        xj = jax.device_put(jnp.asarray(xb, dtype=self.dtype), self._in_sharding)
-        yj = jax.device_put(jnp.asarray(yb, dtype=self.dtype), self._in_sharding)
+        plane = np.float64 if self.dtype == jnp.complex128 else np.float32
+        xp = np.stack([xb.real, xb.imag], axis=-1).astype(plane)
+        yp = np.stack([yb.real, yb.imag], axis=-1).astype(plane)
+        xj = jax.device_put(xp, self._in_sharding)
+        yj = jax.device_put(yp, self._in_sharding)
         return xj, yj
 
     def __call__(self, xb, yb) -> CpiOutputs:
