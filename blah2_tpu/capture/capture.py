@@ -18,8 +18,9 @@ import time
 import urllib.request
 from typing import Optional
 
+from blah2_tpu.capture.drivers import make_hardware_source
 from blah2_tpu.capture.replay import FileReplaySource
-from blah2_tpu.capture.source import HardwareSourceStub, Source
+from blah2_tpu.capture.source import Source
 from blah2_tpu.capture.synthetic import SyntheticSource, TargetSpec
 
 HARDWARE_TYPES = ("RspDuo", "Usrp", "HackRF", "Kraken")
@@ -30,7 +31,7 @@ def factory_source(device_type: str, fs: float, fc: float,
                    path: Optional[str] = None) -> Source:
     device_config = device_config or {}
     if device_type in HARDWARE_TYPES:
-        return HardwareSourceStub(device_type, fs, fc, path)
+        return make_hardware_source(device_type, fs, fc, device_config, path)
     if device_type == "Synthetic":
         targets = [
             TargetSpec(t.get("delay", 0), t.get("doppler", 0.0),

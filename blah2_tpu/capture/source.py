@@ -87,19 +87,3 @@ class Source:
             quads.tofile(self._record_file)
 
 
-class HardwareSourceStub(Source):
-    """Placeholder for SDR hardware drivers (RspDuo/Usrp/HackRF/Kraken).
-
-    The reference's vendor drivers (`src/capture/{rspduo,usrp,hackrf,kraken}`)
-    talk to sdrplay_api/UHD/libhackrf/librtlsdr, none of which exist on a TPU
-    host here. The factory keeps their names and config schema so hardware
-    backends can be slotted in; replay-mode capture works for all of them via
-    `FileReplaySource`.
-    """
-
-    def process(self, buffer1, buffer2) -> None:
-        raise RuntimeError(
-            f"SDR hardware driver '{self.type_name}' is not available on this "
-            "host; use replay mode (capture.replay.state: true) or the "
-            "Synthetic source."
-        )
