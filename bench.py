@@ -62,14 +62,21 @@ def main() -> None:
     run_one(0)
     run_one(1)
 
+    # Per-iteration timing with a median report: the tunneled shared chip
+    # throttles bursts after ~8 dispatches (latency jumps ~20x for reasons
+    # external to this program), so a mean over a long window measures the
+    # tenancy/rate limiter, not the hardware.
     iters = 8
-    t0 = time.perf_counter()
+    times = []
     for k in range(iters):
+        t0 = time.perf_counter()
         out = run_one(k)
-    dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt_med = times[len(times) // 2]
+    dt_min = times[0]
 
-    samples_per_s = n * iters / dt
-    msps = samples_per_s / 1e6
+    msps = n / dt_med / 1e6
     result = {
         "metric": "cpi_pipeline_throughput_2ch",
         "value": round(msps, 3),
@@ -77,7 +84,9 @@ def main() -> None:
         "vs_baseline": round(msps / 2.0, 3),
         "detail": {
             "n_samples_per_cpi": n,
-            "cpi_wall_ms": round(1e3 * dt / iters, 2),
+            "cpi_wall_ms_median": round(1e3 * dt_med, 2),
+            "cpi_wall_ms_min": round(1e3 * dt_min, 2),
+            "cpi_wall_ms_max": round(1e3 * times[-1], 2),
             "realtime_budget_ms": round(1e3 * n / fs, 2),
             "map_shape": [pipe.ambiguity.n_doppler_bins,
                           pipe.ambiguity.n_delay_bins],

@@ -151,6 +151,42 @@ class CpiPipeline:
         self._plane_dtype = jnp.float64 if dtype == jnp.complex128 \
             else jnp.float32
 
+        # -- staged mode: separately-jitted sub-programs so the runtime can
+        # time each stage under the reference's timing keys (spectrum /
+        # clutter_filter / ambiguity_processing / detector,
+        # `src/blah2.cpp:261-337`). Complex intermediates stay on device
+        # between stages; only the jit boundary differs from the fused path.
+        def _complex_of(p):
+            return jax.lax.complex(p[:, 0], p[:, 1]).astype(dtype)
+
+        def stage_spectrum(xp):
+            return SpectrumAnalyser.to_db(self.spectrum(_complex_of(xp)))
+
+        def stage_clutter(xp, yp):
+            x = _complex_of(xp)
+            y = _complex_of(yp)
+            if self.clutter is None:
+                return x, y, jnp.asarray(True)
+            y2, ok = self.clutter(x, y)
+            return x, y2, ok
+
+        def stage_ambiguity(x, y):
+            z = self.ambiguity(x, y)
+            db, noise, max_power = map_metrics(z)
+            return z, db, noise, max_power
+
+        def stage_detect(z, db, noise):
+            if not self.detection_enabled:
+                return _empty_detections()
+            det = self.cfar(z, noise)
+            det = self.centroid(det)
+            return self.interpolate(det, db - noise)
+
+        self.stage_spectrum = jax.jit(stage_spectrum)
+        self.stage_clutter = jax.jit(stage_clutter)
+        self.stage_ambiguity = jax.jit(stage_ambiguity)
+        self.stage_detect = jax.jit(stage_detect)
+
     @staticmethod
     def to_planes(x, plane_dtype=jnp.float32):
         """complex array → (n, 2) real/imag planes (zero-copy for numpy)."""
@@ -168,3 +204,33 @@ class CpiPipeline:
         """Accepts complex IQ arrays or pre-split (n, 2) float planes."""
         return self._fn(self.to_planes(x, self._plane_dtype),
                         self.to_planes(y, self._plane_dtype))
+
+    def call_staged(self, x, y, timer=None) -> CpiOutputs:
+        """Run the pipeline as separately-timed stages.
+
+        Slower than the fused path (per-stage dispatch + sync barriers) but
+        fills every reference timing key; ``timer`` is a
+        :class:`blah2_tpu.data.timing.StageTimer` receiving ``stage()``
+        calls with the reference names.
+        """
+        xp = self.to_planes(x, self._plane_dtype)
+        yp = self.to_planes(y, self._plane_dtype)
+
+        def mark(name, *leaves):
+            for leaf in leaves:
+                jax.block_until_ready(leaf)
+            if timer is not None:
+                timer.stage(name)
+
+        spec_db = self.stage_spectrum(xp)
+        mark("spectrum", spec_db)
+        xc, yc, clutter_ok = self.stage_clutter(xp, yp)
+        mark("clutter_filter", yc)
+        z, db, noise, max_power = self.stage_ambiguity(xc, yc)
+        mark("ambiguity_processing", db)
+        det = self.stage_detect(z, db, noise)
+        mark("detector", det.valid)
+        return CpiOutputs(
+            db_map=db, noise_power=noise, max_power=max_power,
+            spectrum_db=spec_db, clutter_ok=clutter_ok, detections=det,
+        )

@@ -35,6 +35,12 @@ def main(argv=None) -> int:
                         else None,
                         help="serve the web frontend from this directory "
                              "(default: the repo's web/)")
+    parser.add_argument("--staged-timing", action="store_true",
+                        help="time each DSP stage separately (fills all "
+                             "reference timing keys; adds sync barriers)")
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace for the first CPIs "
+                             "to this directory")
     parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -58,12 +64,21 @@ def main(argv=None) -> int:
               flush=True)
 
     runtime = RadarRuntime(config, api_server=api_server,
-                           use_tcp_egress=args.tcp_egress)
+                           use_tcp_egress=args.tcp_egress,
+                           staged_timing=args.staged_timing)
     runtime.install_signal_handlers()
     runtime.start_capture()
+    profiler = None
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+        profiler = jax
     try:
         runtime.run(n_cpis=args.cpis, quiet=args.quiet)
     finally:
+        if profiler is not None:
+            profiler.profiler.stop_trace()
         runtime.stop()
         if api_server is not None:
             api_server.stop()

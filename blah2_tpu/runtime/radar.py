@@ -50,10 +50,13 @@ class RadarRuntime:
         api_server=None,
         use_tcp_egress: bool = False,
         max_detections: int = 128,
+        staged_timing: bool = False,
     ):
         """``api_server``: an ApiServer for in-process publishing; when
         ``use_tcp_egress`` the products are instead sent over the six TCP
-        streams (reference contract)."""
+        streams (reference contract). ``staged_timing`` runs the device
+        pipeline as separately-timed stages so the timing product carries
+        every reference stage key (slower: per-stage sync barriers)."""
         import jax.numpy as jnp
 
         from blah2_tpu.dsp.pipeline import CpiPipeline
@@ -64,6 +67,7 @@ class RadarRuntime:
         self._jnp = jnp
 
         self.pipeline = CpiPipeline(config, max_detections=max_detections)
+        self.staged_timing = bool(staged_timing)
         amb = self.pipeline.ambiguity
 
         from blah2_tpu.native import make_ring_buffer
@@ -172,11 +176,17 @@ class RadarRuntime:
         timer = self.timer
         t0 = timestamp_ms if timestamp_ms is not None else _now_ms()
 
-        out = self.pipeline(jnp.asarray(x), jnp.asarray(y))
-        jax.block_until_ready(out.db_map)
-        # The fused device program covers spectrum + clutter + ambiguity +
-        # CFAR; reported under the reference's ambiguity_processing key.
-        timer.stage("ambiguity_processing")
+        if self.staged_timing:
+            # Separately-jitted stages: every reference timing key is
+            # recorded (spectrum / clutter_filter / ambiguity_processing /
+            # detector) at the cost of per-stage sync barriers.
+            out = self.pipeline.call_staged(x, y, timer=timer)
+        else:
+            out = self.pipeline(x, y)
+            jax.block_until_ready(out.db_map)
+            # The fused device program covers spectrum + clutter +
+            # ambiguity + CFAR; reported under ambiguity_processing.
+            timer.stage("ambiguity_processing")
         emitted = {}
 
         # IqData metadata (spectrum)
@@ -210,7 +220,8 @@ class RadarRuntime:
                 Detection.save(det_json, self._save_detection_path)
             self._emit("detection", det_json)
             emitted["detection"] = det_json
-            timer.stage("detector")
+            if not self.staged_timing:
+                timer.stage("detector")  # staged mode timed it on-device
 
         # Tracker
         if self.tracker is not None and detection is not None:

@@ -14,6 +14,11 @@ from blah2_tpu.runtime.radar import RadarRuntime
 CONFIG = "config/config-synthetic.yml"
 
 
+@pytest.fixture()
+def synthetic_config():
+    return load_config(CONFIG)
+
+
 @pytest.fixture(scope="module")
 def radar_products():
     cfg = load_config(CONFIG)
@@ -114,3 +119,45 @@ def test_stashes(radar_products):
 def test_capture_toggle(radar_products):
     cfg, p = radar_products
     assert p["capture"] == "false"
+
+
+class TestStagedTiming:
+    def test_staged_timing_fills_all_reference_keys(self, synthetic_config):
+        import json
+
+        from blah2_tpu.runtime.radar import RadarRuntime
+
+        rt = RadarRuntime(synthetic_config, staged_timing=True)
+        rt.start_capture()
+        try:
+            rt.run(n_cpis=2, quiet=True)
+        finally:
+            rt.stop()
+        doc = json.loads(rt.timing.to_json())
+        # Reference stage names (`src/blah2.cpp:261-337`).
+        for key in ("extract_buffer", "spectrum", "clutter_filter",
+                    "ambiguity_processing", "detector", "tracker",
+                    "output_radar_data", "cpi"):
+            assert key in doc, key
+            assert doc[key] >= 0.0
+
+    def test_staged_matches_fused_products(self, synthetic_config):
+        import numpy as np
+
+        from blah2_tpu.dsp.pipeline import CpiPipeline
+        from blah2_tpu.capture.synthetic import synthetic_cpi, TargetSpec
+
+        cfg = synthetic_config
+        pipe = CpiPipeline(cfg)
+        x, y = synthetic_cpi(cfg.n_samples, cfg.capture.fs,
+                             [TargetSpec(30, -50.0, 0.05)],
+                             clutter_amplitude=2.0, noise_amplitude=1e-3,
+                             seed=3)
+        fused = pipe(x.astype(np.complex64), y.astype(np.complex64))
+        staged = pipe.call_staged(x.astype(np.complex64),
+                                  y.astype(np.complex64))
+        np.testing.assert_allclose(np.asarray(fused.db_map),
+                                   np.asarray(staged.db_map),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(fused.detections.valid),
+                                      np.asarray(staged.detections.valid))
