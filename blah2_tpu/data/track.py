@@ -36,10 +36,22 @@ class TrackRecord:
     acceleration: float
     associated: List[Tuple[float, float, float]]
     n_inactive: int = 0
+    # Pre-rounded (2-dp, wire format) association history, maintained
+    # incrementally so per-CPI serialization is O(new points), not a
+    # recursive conversion over the whole history.
+    assoc_delay: List[float] = dataclasses.field(default_factory=list)
+    assoc_doppler: List[float] = dataclasses.field(default_factory=list)
 
     @property
     def state(self) -> str:
         return self.states[-1]
+
+    def associate(self, point: Tuple[float, float, float]) -> None:
+        """Record an associated detection (updates the rounded cache)."""
+        self.current = point
+        self.associated.append(point)
+        self.assoc_delay.append(round(float(point[0]), 2))
+        self.assoc_doppler.append(round(float(point[1]), 2))
 
 
 class TrackStore:
@@ -61,6 +73,8 @@ class TrackStore:
             current=detection,
             acceleration=0.0,
             associated=[detection],
+            assoc_delay=[round(float(detection[0]), 2)],
+            assoc_doppler=[round(float(detection[1]), 2)],
         )
         self.tracks.append(rec)
         self._i_next += 1
@@ -86,6 +100,8 @@ class TrackStore:
         return sum(1 for t in self.tracks if t.state == state)
 
     def to_json(self, timestamp_ms: int) -> str:
+        import json
+
         data = []
         for t in self.tracks:
             if t.state == TrackState.TENTATIVE:
@@ -94,13 +110,15 @@ class TrackStore:
                 {
                     "id": t.id,
                     "state": t.state,
-                    "delay": float(t.current[0]),
-                    "doppler": float(t.current[1]),
-                    "acceleration": float(t.acceleration),
+                    "delay": jsonfmt.round2(float(t.current[0])),
+                    "doppler": jsonfmt.round2(float(t.current[1])),
+                    "acceleration": jsonfmt.round2(float(t.acceleration)),
                     "n": len(t.associated),
-                    "associated_delay": [float(a[0]) for a in t.associated],
-                    "associated_doppler": [float(a[1]) for a in t.associated],
-                    "associated_state": list(t.states[: len(t.associated)]),
+                    # pre-rounded caches: no per-CPI re-conversion of the
+                    # full history (the reference pays this in rapidjson)
+                    "associated_delay": t.assoc_delay,
+                    "associated_doppler": t.assoc_doppler,
+                    "associated_state": t.states[: len(t.associated)],
                 }
             )
         doc = {
@@ -112,4 +130,4 @@ class TrackStore:
             "nCoasting": self.count_state(TrackState.COASTING),
             "data": data,
         }
-        return jsonfmt.dumps(doc)
+        return json.dumps(doc, separators=(",", ":"))

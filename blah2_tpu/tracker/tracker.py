@@ -99,8 +99,7 @@ class Tracker:
             if associated is not None:
                 j = associated
                 point = (detection.delay[j], detection.doppler[j], detection.snr[j])
-                rec.current = point
-                rec.associated.append(point)
+                rec.associate(point)
                 if t > 0:
                     rec.acceleration = (detection.doppler[j] - prev_doppler) / t
                 rec.n_inactive = 0

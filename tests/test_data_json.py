@@ -74,8 +74,7 @@ def test_track_store_json():
     assert doc["n"] == 1 and doc["nTentative"] == 1 and doc["data"] == []
 
     rec.states.append(TrackState.ASSOCIATED)
-    rec.associated.append((10.5, -20.0, 12.0))
-    rec.current = (10.5, -20.0, 12.0)
+    rec.associate((10.5, -20.0, 12.0))
     doc = json.loads(s.to_json(6))
     assert doc["nAssociated"] == 1
     assert doc["data"][0]["id"] == "0000"
