@@ -84,19 +84,41 @@ class DelayDopplerMap:
         matches = np.nonzero(self.doppler == doppler_hz)[0]
         return int(matches[0]) if matches.size else 0
 
-    def to_json(self, timestamp_ms: int) -> str:
-        db = self.db() - self.noise_power
-        doc = {
-            "timestamp": int(timestamp_ms),
-            "nRows": self.n_rows,
-            "nCols": self.n_cols,
-            "noisePower": float(self.noise_power),
-            "maxPower": float(self.max_power),
-            "delay": [int(d) for d in self.delay],
-            "doppler": [float(d) for d in self.doppler],
-            "data": [[float(v) for v in row] for row in db],
-        }
-        return jsonfmt.dumps(doc)
+    def to_json(self, timestamp_ms: int, fs_km: Optional[int] = None) -> str:
+        """Serialize the map product. With ``fs_km`` the delay axis is
+        emitted directly in bistatic km (what the reference achieves by
+        mutating the axis before serializing, `Map.cpp:166-185`), avoiding
+        a reparse of the full map. Rounding is vectorized: the map body is
+        the largest JSON product (≥100k values at full config)."""
+        from blah2_tpu import native
+
+        db = np.nan_to_num(self.db() - self.noise_power,
+                           nan=0.0, posinf=0.0, neginf=0.0)
+        if fs_km is not None:
+            delay_axis = np.asarray(
+                self.delay * (SPEED_OF_LIGHT / float(fs_km)) / 1000.0,
+                dtype=np.float64)
+            delay_json = native.json_f64_vector(delay_axis) or json.dumps(
+                np.round(delay_axis, 2).tolist(), separators=(",", ":"))
+        else:
+            delay_json = json.dumps([int(d) for d in self.delay],
+                                    separators=(",", ":"))
+        doppler_axis = np.asarray(self.doppler, dtype=np.float64)
+        doppler_json = native.json_f64_vector(doppler_axis) or json.dumps(
+            np.round(doppler_axis, 2).tolist(), separators=(",", ":"))
+        data_json = native.json_f32_matrix(db)
+        if data_json is None:
+            data_json = json.dumps(
+                np.round(db, 2).astype(np.float64).tolist(),
+                separators=(",", ":"))
+        head = (
+            f'{{"timestamp":{int(timestamp_ms)},'
+            f'"nRows":{self.n_rows},"nCols":{self.n_cols},'
+            f'"noisePower":{jsonfmt.round2(float(self.noise_power))},'
+            f'"maxPower":{jsonfmt.round2(float(self.max_power))},'
+        )
+        return (head + f'"delay":{delay_json},"doppler":{doppler_json},'
+                f'"data":{data_json}}}')
 
     def delay_bin_to_km(self, json_str: str, fs: int) -> str:
         """Rewrite the delay axis of an emitted JSON doc to bistatic km."""

@@ -112,14 +112,19 @@ class IqMetadata:
         self.spectrum_db = np.asarray(spectrum_db, dtype=np.float64)
 
     def to_json(self, timestamp_ms: int) -> str:
+        import json
+
         spec = self.spectrum_db
         finite = spec[np.isfinite(spec)]
         doc = {
             "timestamp": int(timestamp_ms),
-            "min": float(finite.min()) if finite.size else 0.0,
-            "max": float(finite.max()) if finite.size else 0.0,
-            "mean": float(finite.mean()) if finite.size else 0.0,
-            "frequency": [float(f) for f in self.frequency_khz],
-            "spectrum": [float(s) for s in spec],
+            "min": jsonfmt.round2(float(finite.min()) if finite.size else 0.0),
+            "max": jsonfmt.round2(float(finite.max()) if finite.size else 0.0),
+            "mean": jsonfmt.round2(
+                float(finite.mean()) if finite.size else 0.0),
+            "frequency": np.round(self.frequency_khz, 2).tolist(),
+            "spectrum": np.round(
+                np.nan_to_num(spec, nan=0.0, posinf=0.0, neginf=0.0),
+                2).tolist(),
         }
-        return jsonfmt.dumps(doc)
+        return json.dumps(doc, separators=(",", ":"))

@@ -78,6 +78,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.b2_record_append.restype = ctypes.c_int
     lib.b2_record_append.argtypes = [ctypes.c_char_p, c_fp, c_fp, c_i64]
 
+    lib.b2_json_f32_matrix.restype = c_i64
+    lib.b2_json_f32_matrix.argtypes = [c_fp, c_i64, c_i64,
+                                       ctypes.c_char_p, c_i64]
+    lib.b2_json_f64_vector.restype = c_i64
+    lib.b2_json_f64_vector.argtypes = [ctypes.POINTER(ctypes.c_double),
+                                       c_i64, ctypes.c_char_p, c_i64]
+
     lib.b2_tcp_connect.restype = ctypes.c_int
     lib.b2_tcp_connect.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.b2_tcp_send_chunked.restype = ctypes.c_int
@@ -206,6 +213,40 @@ def record_append(path: str, ch1: np.ndarray, ch2: np.ndarray) -> bool:
     return bool(lib.b2_record_append(
         path.encode(), _as_float_ptr(ch1.view(np.float32)),
         _as_float_ptr(ch2.view(np.float32)), n))
+
+
+def json_f32_matrix(arr: np.ndarray) -> Optional[str]:
+    """2-D float array → JSON "[[…],[…]]" with 2-decimal wire formatting.
+
+    Returns None when the native library is unavailable (callers fall back
+    to Python serialization).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr, dtype=np.float32)
+    rows, cols = a.shape
+    cap = 16 * rows * cols + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.b2_json_f32_matrix(_as_float_ptr(a), rows, cols, buf, cap)
+    if n < 0:
+        return None
+    return buf.raw[:n].decode()
+
+
+def json_f64_vector(arr: np.ndarray) -> Optional[str]:
+    """1-D float array → JSON "[…]" with 2-decimal wire formatting."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr, dtype=np.float64)
+    cap = 24 * len(a) + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.b2_json_f64_vector(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(a), buf, cap)
+    if n < 0:
+        return None
+    return buf.raw[:n].decode()
 
 
 class NativeTcpSender:

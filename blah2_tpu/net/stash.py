@@ -17,42 +17,70 @@ from __future__ import annotations
 
 import json
 import threading
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
+
+import numpy as np
 
 
 class MaxholdStash:
+    """Element-wise max surface over the last 20 CPI maps.
+
+    The window holds numpy arrays; the max-reduction and serialization run
+    lazily in ``get()`` (the reference computes per UI poll too,
+    `api/stash/maxhold.js`), cached by map timestamp. The in-process
+    publish path hands the dB array directly via ``update_parsed`` —
+    no JSON round-trip; the TCP ingest path parses.
+    """
+
     N_CPI = 20
 
     def __init__(self):
-        self._maps: List[List[List[float]]] = []
-        self._latest: Dict[str, Any] = {}
+        self._maps: List[np.ndarray] = []
+        self._head: Dict[str, Any] = {}
         self._lock = threading.Lock()
+        self._cache: str = ""
+        self._cache_ts = None
 
     def update(self, map_json: str) -> None:
         try:
             doc = json.loads(map_json)
         except json.JSONDecodeError:
             return
+        data = doc.pop("data", None)
+        if data is None:
+            return
+        self.update_parsed(doc, np.asarray(data, dtype=np.float32))
+
+    def update_parsed(self, head: Dict[str, Any], data: np.ndarray) -> None:
         with self._lock:
-            self._maps.append(doc["data"])
+            if self._maps and self._maps[-1].shape != data.shape:
+                self._maps.clear()
+            self._maps.append(data)
             if len(self._maps) > self.N_CPI:
                 self._maps.pop(0)
-            rows = len(self._maps[0])
-            cols = len(self._maps[0][0]) if rows else 0
-            acc = [row[:] for row in self._maps[0]]
-            for m in self._maps[1:]:
-                for i in range(rows):
-                    mi = m[i]
-                    ai = acc[i]
-                    for j in range(cols):
-                        if mi[j] > ai[j]:
-                            ai[j] = mi[j]
-            doc["data"] = acc
-            self._latest = doc
+            self._head = head
+            self._cache_ts = None  # invalidate
 
     def get(self) -> str:
         with self._lock:
-            return json.dumps(self._latest) if self._latest else ""
+            if not self._maps:
+                return ""
+            ts = self._head.get("timestamp")
+            if self._cache_ts == ts:
+                return self._cache
+            acc = np.maximum.reduce(self._maps)
+            from blah2_tpu import native
+
+            data_json = native.json_f32_matrix(acc)
+            if data_json is None:
+                data_json = json.dumps(
+                    np.round(acc, 2).astype(np.float64).tolist(),
+                    separators=(",", ":"))
+            head = {k: v for k, v in self._head.items() if k != "data"}
+            head_json = json.dumps(head, separators=(",", ":"))
+            self._cache = head_json[:-1] + ',"data":' + data_json + "}"
+            self._cache_ts = ts
+            return self._cache
 
 
 class DetectionStash:

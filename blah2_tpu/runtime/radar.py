@@ -200,8 +200,7 @@ class RadarRuntime:
         ddmap = DelayDopplerMap(None, amb.delay_axis, amb.doppler_axis,
                                 db_data=np.asarray(out.db_map))
         ddmap.set_metrics(float(out.noise_power), float(out.max_power))
-        map_json = ddmap.to_json(t0)
-        map_json = ddmap.delay_bin_to_km(map_json, cfg.capture.fs)
+        map_json = ddmap.to_json(t0, fs_km=cfg.capture.fs)
         if self._save_map_path:
             DelayDopplerMap.save(map_json, self._save_map_path)
         self._emit("map", map_json)
@@ -214,8 +213,7 @@ class RadarRuntime:
             detection = Detection.from_arrays(
                 np.asarray(det.delay), np.asarray(det.doppler),
                 np.asarray(det.snr), np.asarray(det.valid))
-            det_json = detection.to_json(t0)
-            det_json = detection.delay_bin_to_km(det_json, cfg.capture.fs)
+            det_json = detection.to_json(t0, fs_km=cfg.capture.fs)
             if self._save_detection_path:
                 Detection.save(det_json, self._save_detection_path)
             self._emit("detection", det_json)

@@ -215,6 +215,81 @@ int b2_record_append(const char *path, const float *ch1, const float *ch2,
 }
 
 // ---------------------------------------------------------------------------
+// Fast JSON number formatting for the big products (delay-Doppler map body,
+// spectrum): 2-decimal values, trailing zeros trimmed — the wire format of
+// the reference's rapidjson SetMaxDecimalPlaces(2) (src/data/Map.cpp:158).
+// Serializing a 301x411 map via Python json.dumps costs ~100 ms per CPI;
+// this does it in a few ms.
+// ---------------------------------------------------------------------------
+
+// Write one value as [-]ddd[.dd] with <=2 decimals, trailing zeros trimmed.
+static inline char *fmt2(char *p, double v) {
+  if (!(v == v) || v > 1e18 || v < -1e18) {  // nan/inf -> 0.0 (round2 parity)
+    *p++ = '0';
+    return p;
+  }
+  if (v < 0) {
+    *p++ = '-';
+    v = -v;
+  }
+  // round to 2 decimals (half away from zero, like printf)
+  long long cents = static_cast<long long>(v * 100.0 + 0.5);
+  long long whole = cents / 100;
+  int frac = static_cast<int>(cents % 100);
+  // integer part
+  char tmp[24];
+  int n = 0;
+  do {
+    tmp[n++] = static_cast<char>('0' + whole % 10);
+    whole /= 10;
+  } while (whole);
+  while (n) *p++ = tmp[--n];
+  if (frac) {
+    *p++ = '.';
+    *p++ = static_cast<char>('0' + frac / 10);
+    if (frac % 10) *p++ = static_cast<char>('0' + frac % 10);
+  }
+  return p;
+}
+
+// JSON 2-D array "[[...],[...]]" of rows x cols float32 values.
+// Returns bytes written, or -1 if cap would overflow.
+int64_t b2_json_f32_matrix(const float *data, int64_t rows, int64_t cols,
+                           char *out, int64_t cap) {
+  char *p = out;
+  char *end = out + cap - 8;  // slack for closing brackets
+  *p++ = '[';
+  for (int64_t i = 0; i < rows; i++) {
+    if (i) *p++ = ',';
+    *p++ = '[';
+    const float *row = data + i * cols;
+    for (int64_t j = 0; j < cols; j++) {
+      if (j) *p++ = ',';
+      p = fmt2(p, static_cast<double>(row[j]));
+      if (p >= end) return -1;
+    }
+    *p++ = ']';
+  }
+  *p++ = ']';
+  return p - out;
+}
+
+// JSON 1-D array of float64 values (axes, spectra).
+int64_t b2_json_f64_vector(const double *data, int64_t n, char *out,
+                           int64_t cap) {
+  char *p = out;
+  char *end = out + cap - 8;
+  *p++ = '[';
+  for (int64_t i = 0; i < n; i++) {
+    if (i) *p++ = ',';
+    p = fmt2(p, data[i]);
+    if (p >= end) return -1;
+  }
+  *p++ = ']';
+  return p - out;
+}
+
+// ---------------------------------------------------------------------------
 // Chunked TCP JSON sender (Socket.cpp:4-5,21-32: MTU-sized chunks).
 // ---------------------------------------------------------------------------
 
