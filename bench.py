@@ -23,8 +23,19 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     import jax
-    import jax.numpy as jnp
+
+    # Persistent compile cache: remote TPU compilation of the full pipeline
+    # takes minutes; cache it across bench runs.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/blah2_tpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from __graft_entry__ import _default_config
     from blah2_tpu.dsp.pipeline import CpiPipeline
@@ -47,15 +58,21 @@ def main() -> None:
              + 2.0 * x
              + 1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
              ).astype(np.complex64)
-        # Pre-split into float32 real/imag planes: the host->device boundary
-        # carries planes (complex transfers are unsupported on some TPU
-        # transports) and this is the layout the pipeline consumes.
-        bufs.append((pipe.to_planes(x), pipe.to_planes(y)))
+        # One (n, 4) int16 quad array [i1,q1,i2,q2] per CPI — the SDR/replay
+        # record format (raw ADC counts) and the minimal host->device
+        # transfer: 4x fewer bytes than f32 planes, one transfer instead of
+        # two. Scale the unit-variance scene to a realistic ADC range.
+        def planes_i16(v):
+            p = pipe.to_planes(v) * 2000.0
+            return np.clip(p, -32768, 32767).astype(np.int16)
+        bufs.append(np.concatenate([planes_i16(x), planes_i16(y)], axis=1))
 
     def run_one(k):
-        x, y = bufs[k % n_buf]
-        out = pipe(x, y)
-        jax.block_until_ready(out.db_map)
+        out = pipe.call_quad(bufs[k % n_buf])
+        # Force end-to-end completion with a device->host fetch:
+        # block_until_ready returns before execution finishes on some
+        # remote TPU transports, which would time only async dispatch.
+        np.asarray(out.noise_power)
         return out
 
     # Warmup (compile).

@@ -88,6 +88,15 @@ class AmbiguityProcessor:
         self.nfft = 2 * self.n_corr - 1
         if round_hamming:
             self.nfft = next_hamming(self.nfft)
+        # Compute size: any length >= 2*n_corr-1 yields identical lag values
+        # (the correlation is linear once zero-padded past that), so pad
+        # further to a TPU-fast size — without a large power-of-2 factor the
+        # TPU FFT runs ~10x slower (see next_tpu_fft_size). self.nfft keeps
+        # the reference's Hamming-rounded value (golden-constant parity,
+        # TestAmbiguity.cpp:112-115).
+        from blah2_tpu.dsp.hamming import next_tpu_fft_size
+
+        self.nfft_compute = next_tpu_fft_size(self.nfft)
 
         # Shifted-DFT operator for the Doppler stage:
         # out[j] = FFT(col)[sigma(j)], sigma(j) = (j + nD//2 + 1) mod nD.
@@ -124,7 +133,7 @@ class AmbiguityProcessor:
         Returns:
           Complex map of shape (n_doppler_bins, n_delay_bins); rows = Doppler.
         """
-        nd, nc, nfft = self.n_doppler_bins, self.n_corr, self.nfft
+        nd, nc, nfft = self.n_doppler_bins, self.n_corr, self.nfft_compute
         n_used = nd * nc
 
         x = x[:n_used].astype(self.dtype)

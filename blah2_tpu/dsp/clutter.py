@@ -63,6 +63,7 @@ class WienerHopfFilter:
         self.dtype = dtype
         self.real_dtype = jnp.float32 if dtype == jnp.complex64 else jnp.float64
         self.nfft_corr = next_tpu_fft_size(self.n_samples + self.n_bins)
+        self._nfft_wrap = next_tpu_fft_size(2 * self.n_bins)
 
         min_conv = self.n_samples + self.n_bins - 1
         self.nfft_conv = next_tpu_fft_size(min_conv) if round_hamming else (
@@ -93,12 +94,32 @@ class WienerHopfFilter:
         if self.mode == "circular":
             # dataX[i] = x[(i - delay_min) mod n]  (`WienerHopf.cpp:66`)
             xs = jnp.roll(x, self.delay_min)
-            xf = jnp.fft.fft(xs)
-            yf = jnp.fft.fft(y)
-            # Circular auto/cross correlation (as in the reference).
-            r = jnp.fft.ifft(xf * jnp.conj(xf))
-            a = jnp.conj(r[:nb])
-            b = jnp.fft.ifft(yf * jnp.conj(xf))[:nb]
+            # The reference computes circular correlations with size-n FFTs
+            # (`WienerHopf.cpp:71-108`). An FFT at exactly n is catastrophically
+            # slow on TPU when n lacks a large power-of-2 factor (fs·tCpi
+            # usually does: 1.5M = 2⁵·3·5⁶ runs ~200 ms/FFT), so compute the
+            # LINEAR correlations with padded TPU-fast FFTs and add the exact
+            # circular wrap term — algebraically identical values:
+            #   r_circ[l] = r_lin[l] + Σ_{j<l} u[j]·conj(v[n−l+j]),
+            # and the wrap term is a tiny (nb-point) correlation of the head
+            # of u against the tail of v.
+            m = self.nfft_corr
+            xf = jnp.fft.fft(xs, n=m)
+            yf = jnp.fft.fft(y, n=m)
+            a_lin = jnp.fft.ifft(xf * jnp.conj(xf))[:nb]
+            b_lin = jnp.fft.ifft(yf * jnp.conj(xf))[:nb]
+
+            mw = self._nfft_wrap
+            tail_x = jnp.fft.fft(xs[n - nb:], n=mw)
+            head_x = jnp.fft.fft(xs[:nb], n=mw)
+            head_y = jnp.fft.fft(y[:nb], n=mw)
+            # wrap[l] = cc[mw − nb + l], cc = ifft(head·conj(tail))
+            cc_x = jnp.fft.ifft(head_x * jnp.conj(tail_x))
+            cc_y = jnp.fft.ifft(head_y * jnp.conj(tail_x))
+            wrap_x = cc_x[mw - nb : mw]
+            wrap_y = cc_y[mw - nb : mw]
+            a = jnp.conj(a_lin + wrap_x)
+            b = b_lin + wrap_y
         else:
             # Linear shift with zero fill, linear correlations via a padded FFT.
             s = self.delay_min

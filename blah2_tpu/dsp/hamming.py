@@ -55,16 +55,22 @@ def round_fft_size(value: int, round_hamming: bool = True) -> int:
 
 
 def next_tpu_fft_size(value: int) -> int:
-    """Smallest TPU-compiler-safe FFT length > ``value``.
+    """Smallest TPU-compiler-and-performance-safe FFT length > ``value``.
 
-    Empirically (probed on v5e via the XLA TPU compiler), large FFTs need a
-    sufficient power-of-2 factor: 2·3⁵·5⁵ and 2²·5⁸ crash the compiler while
-    2⁵·3⁴·5⁴ and 2¹²·3·5³ compile. Small sizes (≲32k) work for any 5-smooth
-    (and even non-smooth) length. So: 5-smooth, and divisible by 32 once the
-    length exceeds 32768.
+    Empirically (probed on v5e via the XLA TPU compiler and timed on chip):
+      - large FFTs need a sufficient power-of-2 factor to COMPILE: 2·3⁵·5⁵
+        and 2²·5⁸ crash the compiler while 2⁵·3⁴·5⁴ and 2¹²·3·5³ compile;
+      - FFT RUNTIME falls off a cliff without a large power-of-2 factor:
+        batched 10000-point (2⁴·5⁴) runs ~10× slower than 10240-point
+        (2¹¹·5); a 1.5M-point (2⁵·3·5⁶) FFT takes ~196 ms where the
+        1536000-point (2¹²·3·5³) runs in ~1 ms.
+
+    Policy: 5-smooth, and divisible by 128 once the length exceeds 1024
+    (below that, any 5-smooth size is fine and padding overhead matters
+    more than factor shape).
     """
     v = value
     while True:
         v = next_hamming(v)
-        if v <= 32768 or v % 32 == 0:
+        if v <= 1024 or v % 128 == 0:
             return v

@@ -118,10 +118,15 @@ class CpiPipeline:
             )
 
         def fn(xp: jnp.ndarray, yp: jnp.ndarray) -> CpiOutputs:
-            # Inputs are float real/imag planes (n, 2): complex64 host<->device
-            # transfers are unsupported on some TPU transports, and two f32
-            # planes are the natural TPU layout anyway. Complex is formed
-            # on-device.
+            # Inputs are real/imag planes (n, 2): complex64 host<->device
+            # transfers are unsupported on some TPU transports, and split
+            # planes are the natural TPU layout anyway. int16 planes (raw
+            # ADC counts, the SDR wire format) are accepted and widened
+            # on-device — 4x less host->device traffic than f32. Complex is
+            # formed on-device.
+            real = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+            xp = xp.astype(real)
+            yp = yp.astype(real)
             x = jax.lax.complex(xp[:, 0], xp[:, 1]).astype(dtype)
             y = jax.lax.complex(yp[:, 0], yp[:, 1]).astype(dtype)
             spec_db = SpectrumAnalyser.to_db(self.spectrum(x))
@@ -148,6 +153,10 @@ class CpiPipeline:
             )
 
         self._fn = jax.jit(fn) if use_jit else fn
+        # Quad entry: one (n, 4) int16 [i1,q1,i2,q2] array — the replay/SDR
+        # record format (RspDuo.cpp:150-179) — as a SINGLE host->device
+        # transfer; channels split and widen on device.
+        self._fn_quad = jax.jit(lambda q: fn(q[:, :2], q[:, 2:]))
         self._plane_dtype = jnp.float64 if dtype == jnp.complex128 \
             else jnp.float32
 
@@ -189,7 +198,11 @@ class CpiPipeline:
 
     @staticmethod
     def to_planes(x, plane_dtype=jnp.float32):
-        """complex array → (n, 2) real/imag planes (zero-copy for numpy)."""
+        """complex array → (n, 2) real/imag planes (zero-copy for numpy).
+
+        Integer planes (int16 ADC counts) pass through unchanged — the
+        jitted program widens them on-device.
+        """
         import numpy as np
 
         if isinstance(x, np.ndarray) and x.dtype == np.complex64 \
@@ -198,12 +211,19 @@ class CpiPipeline:
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
             return jnp.stack([jnp.real(x), jnp.imag(x)],
                              axis=-1).astype(plane_dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.integer):
+            return x  # int planes: widen on device, not on host
         return jnp.asarray(x, plane_dtype)  # already planes
 
     def __call__(self, x, y) -> CpiOutputs:
-        """Accepts complex IQ arrays or pre-split (n, 2) float planes."""
+        """Accepts complex IQ arrays or pre-split (n, 2) planes."""
         return self._fn(self.to_planes(x, self._plane_dtype),
                         self.to_planes(y, self._plane_dtype))
+
+    def call_quad(self, quads) -> CpiOutputs:
+        """Process one CPI from interleaved (n, 4) [i1,q1,i2,q2] samples —
+        the SDR/replay record layout — in a single host->device transfer."""
+        return self._fn_quad(quads)
 
     def call_staged(self, x, y, timer=None) -> CpiOutputs:
         """Run the pipeline as separately-timed stages.

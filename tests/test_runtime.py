@@ -158,6 +158,6 @@ class TestStagedTiming:
                                   y.astype(np.complex64))
         np.testing.assert_allclose(np.asarray(fused.db_map),
                                    np.asarray(staged.db_map),
-                                   rtol=0, atol=1e-4)
+                                   rtol=0, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(fused.detections.valid),
                                       np.asarray(staged.detections.valid))
