@@ -56,6 +56,7 @@ class CpiPipeline:
         diag_load: float = 0.0,
         use_jit: bool = True,
         clutter_mode: str = "circular",
+        use_pallas: "str | bool" = "auto",
     ):
         self.config = config
         cap = config.capture
@@ -90,6 +91,14 @@ class CpiPipeline:
         self.cfar: Optional[CfarDetector] = None
         self.centroid: Optional[CentroidFilter] = None
         self.interpolate: Optional[PeakInterpolator] = None
+        # Fused Pallas metrics+CFAR+centroid kernel (ops.pallas_detect):
+        # default on for TPU backends, interpreter-mode available for tests.
+        if use_pallas == "auto":
+            import jax as _jax
+
+            use_pallas = _jax.default_backend() == "tpu"
+        self.use_pallas = bool(use_pallas)
+        self.fused_detector = None
         if self.detection_enabled:
             self.cfar = CfarDetector(
                 proc.detection.pfa,
@@ -116,6 +125,22 @@ class CpiPipeline:
                 self.ambiguity.n_doppler_bins,
                 self.ambiguity.n_delay_bins,
             )
+            if self.use_pallas:
+                from blah2_tpu.ops.pallas_detect import FusedDetector
+
+                self.fused_detector = FusedDetector(
+                    proc.detection.pfa,
+                    proc.detection.n_guard,
+                    proc.detection.n_train,
+                    proc.detection.min_delay,
+                    proc.detection.min_doppler,
+                    proc.detection.n_centroid,
+                    proc.detection.n_centroid,
+                    1.0 / proc.data.cpi,
+                    self.ambiguity.delay_axis,
+                    self.ambiguity.doppler_axis,
+                    max_detections=max_detections,
+                )
 
         def fn(xp: jnp.ndarray, yp: jnp.ndarray) -> CpiOutputs:
             # Inputs are real/imag planes (n, 2): complex64 host<->device
@@ -135,13 +160,16 @@ class CpiPipeline:
             else:
                 clutter_ok = jnp.asarray(True)
             z = self.ambiguity(x, y)
-            db, noise, max_power = map_metrics(z)
-            det = None
-            if self.detection_enabled:
+            if self.detection_enabled and self.fused_detector is not None:
+                db, noise, max_power, det = self.fused_detector(z)
+                det = self.interpolate(det, db - noise)
+            elif self.detection_enabled:
+                db, noise, max_power = map_metrics(z)
                 det = self.cfar(z, noise)
                 det = self.centroid(det)
                 det = self.interpolate(det, db - noise)
             else:
+                db, noise, max_power = map_metrics(z)
                 det = _empty_detections()
             return CpiOutputs(
                 db_map=db,
