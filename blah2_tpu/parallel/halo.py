@@ -1,0 +1,138 @@
+"""Neighbour halo exchange for the CPI/pulse-axis sharded pipeline.
+
+Two interchangeable backends behind one interface (SURVEY §2.5: the
+distributed communication layer is "jax.lax collectives / Pallas RDMA over
+ICI"):
+
+  - ``ppermute``: `jax.lax.ppermute` with open-chain (non-circular) pairs —
+    XLA lowers it to an ICI collective-permute and fills absent sources with
+    zeros, which is exactly the linear (zero-extended) boundary the
+    overlap-save decomposition needs.
+  - ``pallas``: an explicit inter-chip RDMA kernel
+    (`pltpu.make_async_remote_copy`, the right/left-permute pattern from the
+    Pallas distributed guide). The copy is circular on the device ring; the
+    wrap-around edge is masked to zero outside the kernel to recover the
+    open-chain semantics. Data crosses as float32 real/imag planes — remote
+    DMA moves raw bytes, complex is re-formed locally.
+
+Both run under `jax.shard_map`; both are validated against each other on the
+virtual CPU mesh (tests/test_halo.py) — the pallas backend in interpreter
+mode there, compiled Mosaic on real TPU slices. Note the compiled RDMA path
+needs an ICI-connected slice: single-chip tunnels (and the Pallas CPU
+interpreter on multi-axis meshes) cannot execute it, so ``ppermute`` is the
+default everywhere and the RDMA backend is opt-in for pod deployments.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ppermute_from_next(head: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    n_dev = lax.axis_size(axis_name)
+    return lax.ppermute(head, axis_name,
+                        [(d, d - 1) for d in range(1, n_dev)])
+
+
+def _ppermute_from_prev(tail: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    n_dev = lax.axis_size(axis_name)
+    return lax.ppermute(tail, axis_name,
+                        [(d, d + 1) for d in range(n_dev - 1)])
+
+
+def _rdma_permute(v: jnp.ndarray, axis_name: str, to_left: bool,
+                  interpret: bool, n_mesh_axes: int = 1) -> jnp.ndarray:
+    """Send ``v`` (any small f32 array) to the left (d→d−1) or right (d→d+1)
+    ring neighbour via an explicit remote DMA; returns the received buffer.
+    Circular — caller masks the wrap-around edge."""
+    if interpret and n_mesh_axes > 1:
+        # The Pallas interpreter only implements remote DMA over 1-D meshes
+        # (dma_start_p: "Meshes with more than 1 named dimension not
+        # implemented"); multi-axis meshes need compiled Mosaic on a real
+        # TPU slice. tests/test_halo.py covers the 1-D interpret path.
+        raise NotImplementedError(
+            "pallas halo backend in interpret mode requires a 1-D mesh; "
+            "use halo_backend='ppermute' on non-TPU backends"
+        )
+
+    def kernel(in_ref, out_ref, send_sem, recv_sem):
+        my_id = lax.axis_index(axis_name)
+        n_dev = lax.axis_size(axis_name)
+        step = jnp.asarray(n_dev - 1 if to_left else 1, my_id.dtype)
+        neighbor = lax.rem(my_id + step, jnp.asarray(n_dev, my_id.dtype))
+        # Scalar device id on a 1-D mesh (the only form the interpreter
+        # accepts); dict form on multi-axis meshes — coordinates only for
+        # the exchanged axis, every other axis keeps this device's own.
+        device_id = neighbor if n_mesh_axes == 1 else {axis_name: neighbor}
+        op = pltpu.make_async_remote_copy(
+            src_ref=in_ref,
+            dst_ref=out_ref,
+            send_sem=send_sem,
+            recv_sem=recv_sem,
+            device_id=device_id,
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+        op.start()
+        op.wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA] * 2,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(v)
+
+
+def _as_planes(v: jnp.ndarray):
+    if jnp.issubdtype(v.dtype, jnp.complexfloating):
+        real = jnp.float64 if v.dtype == jnp.complex128 else jnp.float32
+        return jnp.stack([jnp.real(v), jnp.imag(v)], axis=-1).astype(real), v.dtype
+    return v, None
+
+
+def _from_planes(p: jnp.ndarray, cdtype):
+    if cdtype is None:
+        return p
+    return lax.complex(p[..., 0], p[..., 1]).astype(cdtype)
+
+
+def shift_from_next(v: jnp.ndarray, count: int, axis_name: str,
+                    backend: str = "ppermute",
+                    interpret: bool = False,
+                    n_mesh_axes: int = 1) -> jnp.ndarray:
+    """First ``count`` samples of the *next* device's block (d ← d+1);
+    zeros on the last device (linear/zero-extended boundary)."""
+    head = v[..., :count]
+    if backend == "ppermute":
+        return _ppermute_from_next(head, axis_name)
+    p, cdtype = _as_planes(head)
+    got = _rdma_permute(p, axis_name, to_left=True, interpret=interpret,
+                        n_mesh_axes=n_mesh_axes)
+    got = _from_planes(got, cdtype)
+    my_id = lax.axis_index(axis_name)
+    last = lax.axis_size(axis_name) - 1
+    return jnp.where(my_id == last, jnp.zeros_like(got), got)
+
+
+def shift_from_prev(v: jnp.ndarray, count: int, axis_name: str,
+                    backend: str = "ppermute",
+                    interpret: bool = False,
+                    n_mesh_axes: int = 1) -> jnp.ndarray:
+    """Last ``count`` samples of the *previous* device's block (d ← d−1);
+    zeros on device 0."""
+    tail = v[..., -count:]
+    if backend == "ppermute":
+        return _ppermute_from_prev(tail, axis_name)
+    p, cdtype = _as_planes(tail)
+    got = _rdma_permute(p, axis_name, to_left=False, interpret=interpret,
+                        n_mesh_axes=n_mesh_axes)
+    got = _from_planes(got, cdtype)
+    my_id = lax.axis_index(axis_name)
+    return jnp.where(my_id == 0, jnp.zeros_like(got), got)

@@ -53,6 +53,7 @@ from blah2_tpu.dsp.hamming import next_hamming, next_tpu_fft_size
 from blah2_tpu.dsp.interpolate import PeakInterpolator
 from blah2_tpu.dsp.pipeline import CpiOutputs, _empty_detections
 from blah2_tpu.dsp.spectrum import SpectrumAnalyser
+from blah2_tpu.parallel.halo import shift_from_next, shift_from_prev
 
 
 def pick_local_segments(block_len: int, n_lags: int,
@@ -71,27 +72,6 @@ def pick_local_segments(block_len: int, n_lags: int,
     return best
 
 
-def _shift_from_next(v: jnp.ndarray, count: int, axis_name: str) -> jnp.ndarray:
-    """First ``count`` samples of the *next* device's block; zeros on the
-    last device (linear/zero-extended boundary)."""
-    n_dev = jax.lax.axis_size(axis_name)
-    head = v[..., :count]
-    # send my head to my left neighbour (d -> d-1)
-    return jax.lax.ppermute(
-        head, axis_name, [(d, d - 1) for d in range(1, n_dev)]
-    )
-
-
-def _shift_from_prev(v: jnp.ndarray, count: int, axis_name: str) -> jnp.ndarray:
-    """Last ``count`` samples of the *previous* device's block; zeros on
-    device 0."""
-    n_dev = jax.lax.axis_size(axis_name)
-    tail = v[..., -count:]
-    return jax.lax.ppermute(
-        tail, axis_name, [(d, d + 1) for d in range(n_dev - 1)]
-    )
-
-
 class ShardedCpiPipeline:
     def __init__(
         self,
@@ -101,10 +81,20 @@ class ShardedCpiPipeline:
         dtype=jnp.complex64,
         spectrum_bandwidth: float = 2000.0,
         diag_load: float = 0.0,
+        halo_backend: str = "ppermute",
     ):
         self.config = config
         self.mesh = mesh
         self.dtype = dtype
+        # Halo-exchange backend (parallel.halo): "ppermute" (XLA collective
+        # permute) or "pallas" (explicit inter-chip RDMA kernel; interpreted
+        # off-TPU so the virtual CPU mesh can validate it).
+        if halo_backend not in ("ppermute", "pallas"):
+            raise ValueError(f"unknown halo backend {halo_backend!r}")
+        self._halo_kw = dict(backend=halo_backend)
+        if halo_backend == "pallas":
+            self._halo_kw["interpret"] = jax.default_backend() != "tpu"
+            self._halo_kw["n_mesh_axes"] = len(mesh.axis_names)
         self.n_pulse_axis = mesh.shape["pulse"]
         self.n_cpi_axis = mesh.shape["cpi"]
         proc = config.process
@@ -186,7 +176,7 @@ class ShardedCpiPipeline:
         segment's halo comes from the next device (zeros at the global end)."""
         h = self.nb - 1
         main = v_loc.reshape(self.n_seg_local, self.seg_len)
-        halo_next = _shift_from_next(v_loc, h, "pulse")
+        halo_next = shift_from_next(v_loc, h, "pulse", **self._halo_kw)
         if self.n_seg_local > 1:
             tails = jnp.concatenate([main[1:, :h], halo_next[None, :]], axis=0)
         else:
@@ -200,10 +190,10 @@ class ShardedCpiPipeline:
 
         # Linear shift: xs[i] = x[i − s] with zero extension at the ends.
         if s < 0:
-            incoming = _shift_from_next(x_loc, -s, "pulse")
+            incoming = shift_from_next(x_loc, -s, "pulse", **self._halo_kw)
             xs_loc = jnp.concatenate([x_loc[-s:], incoming])
         elif s > 0:
-            incoming = _shift_from_prev(x_loc, s, "pulse")
+            incoming = shift_from_prev(x_loc, s, "pulse", **self._halo_kw)
             xs_loc = jnp.concatenate([incoming, x_loc[:-s]])
         else:
             xs_loc = x_loc
@@ -233,7 +223,7 @@ class ShardedCpiPipeline:
 
         # Overlap-save FIR: left halo from the previous device.
         h = self.nb - 1
-        halo_prev = _shift_from_prev(xs_loc, h, "pulse")
+        halo_prev = shift_from_prev(xs_loc, h, "pulse", **self._halo_kw)
         main = xs_seg
         if self.n_seg_local > 1:
             heads = jnp.concatenate(
