@@ -73,6 +73,19 @@ class RadarRuntime:
         from blah2_tpu.native import make_ring_buffer
 
         self.n_samples = config.n_samples
+        # CPI overlap (process.data.overlap): the reference parses this key
+        # but never implements it (`config/config.yml:23`, SURVEY §5); here
+        # overlap f ∈ [0, 1) yields sliding CPI windows that advance by
+        # n·(1−f) samples, reusing the tail of the previous CPI — finer
+        # track update rates from the same sample stream.
+        self.overlap = float(config.process.data.overlap)
+        if not 0.0 <= self.overlap < 1.0:
+            raise ValueError(
+                f"process.data.overlap must be in [0, 1), got {self.overlap}")
+        self.advance = self.n_samples if self.overlap == 0.0 else max(
+            1, int(round(self.n_samples * (1.0 - self.overlap))))
+        self._tail_x: Optional[np.ndarray] = None
+        self._tail_y: Optional[np.ndarray] = None
         # Native C++ ring buffers when built (make -C native), else Python.
         self.buffer1 = make_ring_buffer(config.buffer_samples)
         self.buffer2 = make_ring_buffer(config.buffer_samples)
@@ -232,20 +245,43 @@ class RadarRuntime:
         timer.stage("output_radar_data")
         return emitted
 
+    def _extract_cpi(self, timeout1: float = 1.0, timeout2: float = 5.0):
+        """Pop the next CPI window, honouring ``process.data.overlap``.
+
+        With overlap, only ``advance`` new samples are popped per CPI and the
+        previous window's tail is reused. Returns ``(x, y)`` or ``None`` on
+        timeout. Starts the stage timer once samples are available so
+        ``extract_buffer`` times the assembly, not the wait.
+        """
+        n, adv = self.n_samples, self.advance
+        fresh = self._tail_x is None or adv >= n
+        count = n if fresh else adv
+        xnew = self.buffer1.pop(count, timeout=timeout1)
+        if xnew is None:
+            return None
+        self.timer.start()
+        ynew = self.buffer2.pop(count, timeout=timeout2)
+        if ynew is None:
+            return None
+        if fresh:
+            x, y = xnew, ynew
+        else:
+            x = np.concatenate([self._tail_x, xnew])
+            y = np.concatenate([self._tail_y, ynew])
+        if adv < n:
+            self._tail_x, self._tail_y = x[adv:], y[adv:]
+        return x, y
+
     def run(self, n_cpis: Optional[int] = None, quiet: bool = False) -> None:
         """Main CPI loop (`src/blah2.cpp:245-361`)."""
-        n = self.n_samples
         while not self._stop.is_set():
             if n_cpis is not None and self.n_cpis_done >= n_cpis:
                 break
-            x = self.buffer1.pop(n, timeout=1.0)
-            if x is None:
+            got = self._extract_cpi()
+            if got is None:
                 continue
+            x, y = got
             t0 = _now_ms()
-            self.timer.start()
-            y = self.buffer2.pop(n, timeout=5.0)
-            if y is None:
-                continue
             self.timer.stage("extract_buffer")
             self.process_one_cpi(x, y, t0)
             cpi_ms = self.timer.finish_cpi()
