@@ -41,6 +41,44 @@ class CfarDetections(NamedTuple):
     count: jnp.ndarray    # total detections found (may exceed K), int32 scalar
 
 
+def cfar_threshold_scale(pfa: float, n_guard: int, n_train: int,
+                         n_cols: int) -> np.ndarray:
+    """Per-column CFAR threshold scale α/N (applied to the train *sum*).
+
+    α = N·(pfa^(−1/N) − 1) with the per-column valid train-cell count N
+    shrunk at map edges exactly as the reference's index clipping does,
+    including the k>0 left-train quirk (`CfarDetector1D.cpp:57-83`); ∞ where
+    no train cell exists.
+    """
+    g, t = int(n_guard), int(n_train)
+    j = np.arange(n_cols)
+    cnt = np.zeros(n_cols, dtype=np.int64)
+    for o in range(g + 1, g + t + 1):
+        cnt += (j - o > 0).astype(np.int64)   # k > 0 (reference quirk)
+        cnt += (j + o < n_cols).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alpha = cnt * (float(pfa) ** (-1.0 / np.maximum(cnt, 1)) - 1.0)
+    return np.where(cnt > 0, alpha / np.maximum(cnt, 1), np.inf)
+
+
+def extract_topk(flat_mask: jnp.ndarray, n_cols: int, max_detections: int):
+    """Fixed-capacity index extraction in row-major scan order.
+
+    top_k of (index where hit, else N) yields the first K hit indices —
+    vmappable and TPU-friendly, unlike nonzero. Returns (row, col, valid,
+    count)."""
+    n_cells = flat_mask.shape[0]
+    count = jnp.sum(flat_mask).astype(jnp.int32)
+    score = jnp.where(flat_mask, jnp.arange(n_cells, dtype=jnp.int32),
+                      n_cells)
+    idx = -jax.lax.top_k(-score, max_detections)[0]
+    valid = idx < n_cells
+    idx = jnp.minimum(idx, n_cells - 1)
+    row = (idx // n_cols).astype(jnp.int32)
+    col = (idx % n_cols).astype(jnp.int32)
+    return row, col, valid, count
+
+
 class CfarDetector:
     def __init__(
         self,
@@ -72,19 +110,9 @@ class CfarDetector:
         self._delay_axis = delay_axis.astype(np.float32)
         self._doppler_axis = doppler_axis.astype(np.float32)
 
-        # Per-column valid train-cell count (depends only on geometry).
-        g, t, nc = self.n_guard, self.n_train, self.n_cols
-        j = np.arange(nc)
-        cnt_left = np.zeros(nc, dtype=np.int64)
-        cnt_right = np.zeros(nc, dtype=np.int64)
-        for o in range(g + 1, g + t + 1):
-            cnt_left += (j - o > 0).astype(np.int64)   # k > 0 (reference quirk)
-            cnt_right += (j + o < nc).astype(np.int64)  # k < n_cols
-        cnt = cnt_left + cnt_right
-        with np.errstate(divide="ignore", invalid="ignore"):
-            alpha = cnt * (self.pfa ** (-1.0 / np.maximum(cnt, 1)) - 1.0)
         # alpha/cnt scales the train *sum* directly: threshold = alpha * sum/cnt.
-        scale = np.where(cnt > 0, alpha / np.maximum(cnt, 1), np.inf)
+        scale = cfar_threshold_scale(self.pfa, self.n_guard, self.n_train,
+                                     self.n_cols)
         self._thresh_scale = scale.astype(np.dtype(real_dtype))
 
     def __call__(self, z: jnp.ndarray, noise_power: jnp.ndarray) -> CfarDetections:
@@ -121,17 +149,8 @@ class CfarDetector:
         )
 
         # Fixed-capacity extraction in the reference's row-major scan order.
-        # top_k of (index where detected, else N) gives the first K hit
-        # indices — vmappable and TPU-friendly, unlike nonzero.
-        flat = detect.reshape(-1)
-        n_cells = flat.shape[0]
-        count = jnp.sum(flat).astype(jnp.int32)
-        score = jnp.where(flat, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
-        idx = -jax.lax.top_k(-score, self.max_detections)[0]
-        valid = idx < n_cells
-        idx = jnp.minimum(idx, n_cells - 1)
-        row = (idx // nc).astype(jnp.int32)
-        col = (idx % nc).astype(jnp.int32)
+        row, col, valid, count = extract_topk(
+            detect.reshape(-1), nc, self.max_detections)
         return CfarDetections(
             row=row,
             col=col,

@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from blah2_tpu.dsp.cfar import CfarDetections
+from blah2_tpu.dsp.cfar import (CfarDetections, cfar_threshold_scale,
+                                extract_topk)
 
 
 class DetectKernelOutputs(NamedTuple):
@@ -151,16 +152,7 @@ class FusedDetector:
         self.interpret = bool(interpret)
 
         g, t = int(n_guard), int(n_train)
-        # Per-column threshold scale α/N with edge-shrunk train counts
-        # (CfarDetector1D.cpp:57-83); ∞ where no train cell exists.
-        j = np.arange(nc)
-        cnt = np.zeros(nc, dtype=np.int64)
-        for o in range(g + 1, g + t + 1):
-            cnt += (j - o > 0).astype(np.int64)
-            cnt += (j + o < nc).astype(np.int64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            alpha = cnt * (float(pfa) ** (-1.0 / np.maximum(cnt, 1)) - 1.0)
-        scale = np.where(cnt > 0, alpha / np.maximum(cnt, 1), np.inf)
+        scale = cfar_threshold_scale(pfa, g, t, nc)
         self._scale = np.broadcast_to(
             scale.astype(np.float32)[None, :], (nr, nc)
         ).copy()
@@ -225,17 +217,9 @@ class FusedDetector:
         noise = noise[0, 0]
         max_power = rawmax[0, 0] - noise
 
-        # Fixed-capacity extraction in row-major scan order (same device-
-        # friendly top_k trick as dsp.cfar).
-        flat = keep.reshape(-1) > 0.0
-        n_cells = flat.shape[0]
-        count = jnp.sum(flat).astype(jnp.int32)
-        score = jnp.where(flat, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
-        idx = -jax.lax.top_k(-score, self.max_detections)[0]
-        valid = idx < n_cells
-        idx = jnp.minimum(idx, n_cells - 1)
-        row = (idx // self.n_cols).astype(jnp.int32)
-        col = (idx % self.n_cols).astype(jnp.int32)
+        # Fixed-capacity extraction in row-major scan order (dsp.cfar).
+        row, col, valid, count = extract_topk(
+            keep.reshape(-1) > 0.0, self.n_cols, self.max_detections)
         det = CfarDetections(
             row=row,
             col=col,
