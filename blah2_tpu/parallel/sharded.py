@@ -82,6 +82,7 @@ class ShardedCpiPipeline:
         spectrum_bandwidth: float = 2000.0,
         diag_load: float = 0.0,
         halo_backend: str = "ppermute",
+        use_pallas_detect: bool = False,
     ):
         self.config = config
         self.mesh = mesh
@@ -166,6 +167,23 @@ class ShardedCpiPipeline:
                 True, True, amb.doppler_resolution, amb.n_doppler_bins,
                 amb.n_delay_bins,
             )
+            # Opt-in fused Pallas detection (ops.pallas_detect) vmapped over
+            # the cpi-sharded maps. Off by default: the single-chip pipeline
+            # enables it automatically, but under GSPMD auto-partitioning the
+            # kernel's placement is less predictable than inside jit on one
+            # device — validate on your slice before enabling in production.
+            self.fused_detector = None
+            if use_pallas_detect:
+                from blah2_tpu.ops.pallas_detect import FusedDetector
+
+                self.fused_detector = FusedDetector(
+                    proc.detection.pfa, proc.detection.n_guard,
+                    proc.detection.n_train, proc.detection.min_delay,
+                    proc.detection.min_doppler, proc.detection.n_centroid,
+                    proc.detection.n_centroid, 1.0 / proc.data.cpi,
+                    amb.delay_axis, amb.doppler_axis,
+                    max_detections=max_detections,
+                )
 
         self._in_sharding = NamedSharding(mesh, P("cpi", "pulse", None))
         self._fn = jax.jit(self._step)
@@ -299,20 +317,28 @@ class ShardedCpiPipeline:
         spec = jax.vmap(self.spectrum)(xb[:, : self.spectrum.nfft])
         spec_db = SpectrumAnalyser.to_db(spec)
 
-        db = 10.0 * jnp.log10(jnp.abs(z))
-        noise = jnp.mean(db, axis=(-2, -1))
-        raw_max = jnp.maximum(0.0, jnp.max(db, axis=(-2, -1)))
-        max_power = raw_max - noise
+        if self.detection_enabled and self.fused_detector is not None:
+            def fused_one(z_i):
+                db_i, noise_i, maxp_i, det = self.fused_detector(z_i)
+                det = self.interpolate(det, db_i - noise_i)
+                return db_i, noise_i, maxp_i, det
 
-        if self.detection_enabled:
-            def detect_one(z_i, noise_i, db_i):
-                det = self.cfar(z_i, noise_i)
-                det = self.centroid(det)
-                return self.interpolate(det, db_i - noise_i)
-
-            det = jax.vmap(detect_one)(z, noise, db)
+            db, noise, max_power, det = jax.vmap(fused_one)(z)
         else:
-            det = jax.vmap(lambda _: _empty_detections())(noise)
+            db = 10.0 * jnp.log10(jnp.abs(z))
+            noise = jnp.mean(db, axis=(-2, -1))
+            raw_max = jnp.maximum(0.0, jnp.max(db, axis=(-2, -1)))
+            max_power = raw_max - noise
+
+            if self.detection_enabled:
+                def detect_one(z_i, noise_i, db_i):
+                    det = self.cfar(z_i, noise_i)
+                    det = self.centroid(det)
+                    return self.interpolate(det, db_i - noise_i)
+
+                det = jax.vmap(detect_one)(z, noise, db)
+            else:
+                det = jax.vmap(lambda _: _empty_detections())(noise)
 
         return CpiOutputs(
             db_map=db, noise_power=noise, max_power=max_power,
