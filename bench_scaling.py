@@ -4,7 +4,8 @@ SURVEY §7.5 / BASELINE north star: ≥80 % samples/s scaling efficiency at ≥2
 hosts. This runs the full sharded CPI pipeline (clutter + ambiguity +
 detection, `blah2_tpu.parallel.sharded`) over growing device meshes and
 prints one JSON line per mesh shape with throughput and efficiency relative
-to the 1-device run.
+to the smallest swept size (the 1-device run unless --sizes starts higher;
+the line's efficiency_baseline_devices field records which).
 
 Axes (SURVEY §2.5):
   --mode dp     scale the `cpi` axis (CPI-batch data parallelism)
@@ -127,7 +128,10 @@ def main() -> None:
         dt = times[len(times) // 2]
         sps = b * n / dt
         if base_sps is None:
-            base_sps = sps / nd  # per-device baseline at the smallest size
+            # per-device baseline at the SMALLEST SWEPT size — equals the
+            # 1-device baseline only when the sweep starts at 1 device
+            base_devices = nd
+            base_sps = sps / nd
         eff = sps / (base_sps * nd)
         print(json.dumps({
             "metric": "sharded_cpi_throughput",
@@ -137,6 +141,7 @@ def main() -> None:
             "value": round(sps / 1e6, 3),
             "unit": "Msamples/s",
             "scaling_efficiency": round(eff, 3),
+            "efficiency_baseline_devices": base_devices,
             "step_ms_median": round(1e3 * dt, 2),
             "platform": jax.default_backend(),
         }), flush=True)

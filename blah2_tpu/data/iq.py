@@ -37,10 +37,18 @@ class IqRingBuffer:
         self._not_empty = threading.Condition(self._lock)
         self._not_full = threading.Condition(self._lock)
         self.closed = False
+        self._dropped = 0  # total overflow drops, monotonic
 
     def __len__(self) -> int:
         with self._lock:
             return self._len
+
+    @property
+    def dropped(self) -> int:
+        """Total samples lost to overflow (seam detection for overlapped
+        CPI extraction)."""
+        with self._lock:
+            return self._dropped
 
     def close(self) -> None:
         with self._lock:
@@ -58,13 +66,16 @@ class IqRingBuffer:
         overflow = max(0, self._len + n - self.capacity)
         self._start = (self._start + overflow) % self.capacity
         self._len = min(self._len + n, self.capacity)
+        self._dropped += overflow
 
     def push(self, block: np.ndarray) -> None:
         """Push a block, dropping the oldest samples if the ring is full."""
         block = np.asarray(block)
-        if len(block) > self.capacity:
+        trunc = max(0, len(block) - self.capacity)
+        if trunc:
             block = block[-self.capacity :]
         with self._lock:
+            self._dropped += trunc
             self._write(block)
             self._not_empty.notify_all()
 

@@ -215,6 +215,11 @@ class CpiPipeline:
         def stage_detect(z, db, noise):
             if not self.detection_enabled:
                 return _empty_detections()
+            if self.fused_detector is not None:
+                # Time the production path: the fused Pallas kernel (its
+                # metrics recompute is part of that kernel's real cost).
+                db_f, noise_f, _, det = self.fused_detector(z)
+                return self.interpolate(det, db_f - noise_f)
             det = self.cfar(z, noise)
             det = self.centroid(det)
             return self.interpolate(det, db - noise)

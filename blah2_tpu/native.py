@@ -61,6 +61,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.b2_ring_close.argtypes = [ctypes.c_void_p]
     lib.b2_ring_len.restype = c_i64
     lib.b2_ring_len.argtypes = [ctypes.c_void_p]
+    lib.b2_ring_dropped.restype = c_i64
+    lib.b2_ring_dropped.argtypes = [ctypes.c_void_p]
     lib.b2_ring_push.argtypes = [ctypes.c_void_p, c_fp, c_i64]
     lib.b2_ring_push_wait.restype = ctypes.c_int
     lib.b2_ring_push_wait.argtypes = [ctypes.c_void_p, c_fp, c_i64,
@@ -119,6 +121,10 @@ class NativeIqRingBuffer:
 
     def __len__(self) -> int:
         return int(self._lib.b2_ring_len(self._h))
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.b2_ring_dropped(self._h))
 
     def close(self) -> None:
         self.closed = True

@@ -152,10 +152,10 @@ class FusedDetector:
         self.interpret = bool(interpret)
 
         g, t = int(n_guard), int(n_train)
-        scale = cfar_threshold_scale(pfa, g, t, nc)
-        self._scale = np.broadcast_to(
-            scale.astype(np.float32)[None, :], (nr, nc)
-        ).copy()
+        # (1, nc): broadcast over rows inside the kernel — nr× less VMEM
+        # than a materialized full map of the per-column constant.
+        self._scale = cfar_threshold_scale(pfa, g, t, nc).astype(
+            np.float32)[None, :]
 
         row_ok = np.abs(doppler_axis) >= float(min_doppler)
         col_ok = delay_axis >= int(min_delay)

@@ -62,18 +62,40 @@ def _rdma_permute(v: jnp.ndarray, axis_name: str, to_left: bool,
     def kernel(in_ref, out_ref, send_sem, recv_sem):
         my_id = lax.axis_index(axis_name)
         n_dev = lax.axis_size(axis_name)
-        step = jnp.asarray(n_dev - 1 if to_left else 1, my_id.dtype)
-        neighbor = lax.rem(my_id + step, jnp.asarray(n_dev, my_id.dtype))
-        # Scalar device id on a 1-D mesh (the only form the interpreter
-        # accepts); dict form on multi-axis meshes — coordinates only for
-        # the exchanged axis, every other axis keeps this device's own.
-        device_id = neighbor if n_mesh_axes == 1 else {axis_name: neighbor}
+        idt = my_id.dtype
+        fwd = lax.rem(my_id + jnp.asarray(1, idt), jnp.asarray(n_dev, idt))
+        bwd = lax.rem(my_id + jnp.asarray(n_dev - 1, idt),
+                      jnp.asarray(n_dev, idt))
+        neighbor = bwd if to_left else fwd
+
+        def did(coord):
+            # Scalar device id on a 1-D mesh (the only form the interpreter
+            # accepts); dict form on multi-axis meshes — coordinates only
+            # for the exchanged axis, others keep this device's own.
+            return coord if n_mesh_axes == 1 else {axis_name: coord}
+
+        if not interpret:
+            # Neighbour barrier before the RDMA (Pallas distributed guide):
+            # without it a fast device can write into a neighbour's output
+            # buffer while the neighbour still uses it from the previous
+            # invocation, or signal recv_sem before the neighbour enters
+            # the kernel. (The interpreter has no barrier support and
+            # serializes devices anyway.)
+            barrier = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(
+                barrier, inc=1, device_id=did(fwd),
+                device_id_type=pltpu.DeviceIdType.MESH)
+            pltpu.semaphore_signal(
+                barrier, inc=1, device_id=did(bwd),
+                device_id_type=pltpu.DeviceIdType.MESH)
+            pltpu.semaphore_wait(barrier, 2)
+
         op = pltpu.make_async_remote_copy(
             src_ref=in_ref,
             dst_ref=out_ref,
             send_sem=send_sem,
             recv_sem=recv_sem,
-            device_id=device_id,
+            device_id=did(neighbor),
             device_id_type=pltpu.DeviceIdType.MESH,
         )
         op.start()
@@ -85,7 +107,10 @@ def _rdma_permute(v: jnp.ndarray, axis_name: str, to_left: bool,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA] * 2,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            **({} if interpret else {"collective_id": 7}),
+        ),
         interpret=interpret,
     )(v)
 

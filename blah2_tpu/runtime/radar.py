@@ -86,6 +86,7 @@ class RadarRuntime:
             1, int(round(self.n_samples * (1.0 - self.overlap))))
         self._tail_x: Optional[np.ndarray] = None
         self._tail_y: Optional[np.ndarray] = None
+        self._last_drops = (0, 0)
         # Native C++ ring buffers when built (make -C native), else Python.
         self.buffer1 = make_ring_buffer(config.buffer_samples)
         self.buffer2 = make_ring_buffer(config.buffer_samples)
@@ -245,23 +246,39 @@ class RadarRuntime:
         timer.stage("output_radar_data")
         return emitted
 
-    def _extract_cpi(self, timeout1: float = 1.0, timeout2: float = 5.0):
+    def _extract_cpi(self, timeout: float = 1.0):
         """Pop the next CPI window, honouring ``process.data.overlap``.
 
         With overlap, only ``advance`` new samples are popped per CPI and the
         previous window's tail is reused. Returns ``(x, y)`` or ``None`` on
-        timeout. Starts the stage timer once samples are available so
-        ``extract_buffer`` times the assembly, not the wait.
+        timeout. Both buffers are popped only once BOTH hold enough samples
+        (they fill in lockstep from the capture callback), so a slow channel
+        can never leave the other one popped-and-discarded — that would
+        desynchronize the channels permanently. Starts the stage timer once
+        samples are available so ``extract_buffer`` times the assembly, not
+        the wait.
         """
         n, adv = self.n_samples, self.advance
+        # Seam detection: if the drop-oldest ring overflowed since the last
+        # extraction, the kept tail is no longer contiguous with the next
+        # popped samples — discard it and assemble a fresh full window.
+        drops = (getattr(self.buffer1, "dropped", 0),
+                 getattr(self.buffer2, "dropped", 0))
+        if drops != self._last_drops:
+            self._last_drops = drops
+            self._tail_x = self._tail_y = None
         fresh = self._tail_x is None or adv >= n
         count = n if fresh else adv
-        xnew = self.buffer1.pop(count, timeout=timeout1)
-        if xnew is None:
-            return None
+        deadline = time.monotonic() + timeout
+        while len(self.buffer1) < count or len(self.buffer2) < count:
+            if self._stop.is_set() or time.monotonic() >= deadline:
+                return None
+            time.sleep(0.001)
         self.timer.start()
-        ynew = self.buffer2.pop(count, timeout=timeout2)
-        if ynew is None:
+        xnew = self.buffer1.pop(count, timeout=0.1)
+        ynew = self.buffer2.pop(count, timeout=0.1)
+        if xnew is None or ynew is None:  # closed mid-pop
+            self._tail_x = self._tail_y = None
             return None
         if fresh:
             x, y = xnew, ynew

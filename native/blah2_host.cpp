@@ -40,6 +40,7 @@ struct B2Ring {
   int64_t capacity;    // samples
   int64_t start;       // oldest sample index
   int64_t len;         // samples stored
+  int64_t dropped;     // total samples dropped (overflow), monotonic
   bool closed;
   std::mutex mu;
   std::condition_variable not_empty;
@@ -74,6 +75,13 @@ int64_t b2_ring_len(B2Ring *r) {
   return r->len;
 }
 
+// Total samples dropped to overflow since creation (seam detection for
+// overlapped CPI extraction).
+int64_t b2_ring_dropped(B2Ring *r) {
+  std::lock_guard<std::mutex> g(r->mu);
+  return r->dropped;
+}
+
 // Copy n samples into the ring at the write head (caller holds the lock).
 static void ring_write(B2Ring *r, const float *iq, int64_t n) {
   int64_t end = (r->start + r->len) % r->capacity;
@@ -84,15 +92,19 @@ static void ring_write(B2Ring *r, const float *iq, int64_t n) {
   int64_t overflow = std::max<int64_t>(0, r->len + n - r->capacity);
   r->start = (r->start + overflow) % r->capacity;
   r->len = std::min(r->len + n, r->capacity);
+  r->dropped += overflow;
 }
 
 // Push, dropping the oldest samples on overflow (IqData.cpp:42-53 semantics).
 void b2_ring_push(B2Ring *r, const float *iq, int64_t n) {
+  int64_t trunc = 0;
   if (n > r->capacity) {           // keep only the newest capacity samples
     iq += 2 * (n - r->capacity);
+    trunc = n - r->capacity;
     n = r->capacity;
   }
   std::lock_guard<std::mutex> g(r->mu);
+  r->dropped += trunc;
   ring_write(r, iq, n);
   r->not_empty.notify_all();
 }

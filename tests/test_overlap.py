@@ -41,7 +41,7 @@ def test_extract_windows_slide(overlap, expect_adv_frac):
 
     starts = []
     for _ in range(3):
-        got = rt._extract_cpi(timeout1=0.1, timeout2=0.1)
+        got = rt._extract_cpi(timeout=0.1)
         assert got is not None
         x, y = got
         assert len(x) == n and len(y) == n
@@ -78,3 +78,45 @@ def test_runtime_runs_with_overlap():
     # 4 CPIs consumed n + 3·(n/2) samples
     consumed = n + 3 * rt.advance
     assert len(rt.buffer1) == 4 * n - consumed
+
+
+def test_overflow_seam_resyncs_tails():
+    """If the drop-oldest ring overflows between extractions, the kept tail
+    is discontinuous — the runtime must discard it and rebuild a fresh
+    window (still a contiguous ramp slice)."""
+    rt = RadarRuntime(_cfg(0.5))
+    n = rt.n_samples
+    cap = rt.buffer1.capacity
+    ramp = (np.arange(cap) + 0j).astype(np.complex64)
+    rt.buffer1.push(ramp)
+    rt.buffer2.push(ramp)
+
+    got = rt._extract_cpi(timeout=0.1)
+    assert got is not None and int(got[0][0].real) == 0
+
+    # Overflow: push enough to drop unread samples.
+    more = (np.arange(cap, 2 * cap + n) + 0j).astype(np.complex64)
+    rt.buffer1.push(more)
+    rt.buffer2.push(more)
+    assert rt.buffer1.dropped > 0
+
+    got = rt._extract_cpi(timeout=0.1)
+    assert got is not None
+    x, y = got
+    # fresh full window (tail discarded), contiguous, channels aligned
+    assert len(x) == n
+    np.testing.assert_array_equal(np.real(x),
+                                  np.arange(x[0].real, x[0].real + n))
+    np.testing.assert_array_equal(np.real(y), np.real(x))
+
+
+def test_native_ring_dropped_counter():
+    from blah2_tpu.native import available, make_ring_buffer
+
+    if not available():
+        import pytest as _pytest
+        _pytest.skip("native runtime not built")
+    rb = make_ring_buffer(100)
+    assert getattr(rb, "dropped", None) == 0
+    rb.push((np.arange(150) + 0j).astype(np.complex64))
+    assert rb.dropped == 50
