@@ -92,6 +92,15 @@ class IqRingBuffer:
             self._not_empty.notify_all()
             return True
 
+    def wait_for(self, n: int, timeout: Optional[float] = None) -> bool:
+        """Block until at least ``n`` samples are available (or closed/
+        timeout). Does not consume. Returns availability."""
+        with self._lock:
+            if not self._not_empty.wait_for(
+                    lambda: self._len >= n or self.closed, timeout):
+                return False
+            return self._len >= n
+
     def pop(self, n: int, timeout: Optional[float] = None) -> Optional[np.ndarray]:
         """Pop the oldest ``n`` samples, blocking until available."""
         with self._lock:

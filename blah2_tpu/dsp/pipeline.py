@@ -94,9 +94,7 @@ class CpiPipeline:
         # Fused Pallas metrics+CFAR+centroid kernel (ops.pallas_detect):
         # default on for TPU backends, interpreter-mode available for tests.
         if use_pallas == "auto":
-            import jax as _jax
-
-            use_pallas = _jax.default_backend() == "tpu"
+            use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = bool(use_pallas)
         self.fused_detector = None
         if self.detection_enabled:
@@ -128,19 +126,8 @@ class CpiPipeline:
             if self.use_pallas:
                 from blah2_tpu.ops.pallas_detect import FusedDetector
 
-                self.fused_detector = FusedDetector(
-                    proc.detection.pfa,
-                    proc.detection.n_guard,
-                    proc.detection.n_train,
-                    proc.detection.min_delay,
-                    proc.detection.min_doppler,
-                    proc.detection.n_centroid,
-                    proc.detection.n_centroid,
-                    1.0 / proc.data.cpi,
-                    self.ambiguity.delay_axis,
-                    self.ambiguity.doppler_axis,
-                    max_detections=max_detections,
-                )
+                self.fused_detector = FusedDetector.from_config(
+                    proc, self.ambiguity, max_detections=max_detections)
 
         def fn(xp: jnp.ndarray, yp: jnp.ndarray) -> CpiOutputs:
             # Inputs are real/imag planes (n, 2): complex64 host<->device

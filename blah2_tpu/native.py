@@ -50,9 +50,23 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
+        _bind(lib)
     except OSError:
         return None
+    except AttributeError:
+        # Stale prebuilt library missing newly added symbols: rebuild once
+        # and retry; fall back to the pure-Python implementations otherwise.
+        _try_build()
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            _bind(lib)
+        except (OSError, AttributeError):
+            return None
+    _lib = lib
+    return _lib
 
+
+def _bind(lib) -> None:
     c_i64 = ctypes.c_int64
     c_fp = ctypes.POINTER(ctypes.c_float)
     lib.b2_ring_create.restype = ctypes.c_void_p
@@ -63,6 +77,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.b2_ring_len.argtypes = [ctypes.c_void_p]
     lib.b2_ring_dropped.restype = c_i64
     lib.b2_ring_dropped.argtypes = [ctypes.c_void_p]
+    lib.b2_ring_wait_len.restype = ctypes.c_int
+    lib.b2_ring_wait_len.argtypes = [ctypes.c_void_p, c_i64, ctypes.c_double]
     lib.b2_ring_push.argtypes = [ctypes.c_void_p, c_fp, c_i64]
     lib.b2_ring_push_wait.restype = ctypes.c_int
     lib.b2_ring_push_wait.argtypes = [ctypes.c_void_p, c_fp, c_i64,
@@ -93,8 +109,6 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.b2_tcp_send_chunked.argtypes = [ctypes.c_int, ctypes.c_char_p,
                                         c_i64, ctypes.c_int]
     lib.b2_tcp_close.argtypes = [ctypes.c_int]
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:
@@ -125,6 +139,10 @@ class NativeIqRingBuffer:
     @property
     def dropped(self) -> int:
         return int(self._lib.b2_ring_dropped(self._h))
+
+    def wait_for(self, n: int, timeout=None) -> bool:
+        t = -1.0 if timeout is None else float(timeout)
+        return bool(self._lib.b2_ring_wait_len(self._h, int(n), t))
 
     def close(self) -> None:
         self.closed = True

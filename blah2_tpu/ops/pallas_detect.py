@@ -203,6 +203,23 @@ class FusedDetector:
             interpret=self.interpret,
         )
 
+    @classmethod
+    def from_config(cls, proc, ambiguity, max_detections: int = 128,
+                    interpret: "str | bool" = "auto") -> "FusedDetector":
+        """Build from a ``config.process`` section and an
+        :class:`AmbiguityProcessor` (single source of truth for the window
+        semantics shared by the single-chip and sharded pipelines)."""
+        det = proc.detection
+        return cls(
+            det.pfa, det.n_guard, det.n_train, det.min_delay,
+            det.min_doppler, det.n_centroid, det.n_centroid,
+            # Centroid Doppler window uses the *configured* CPI (1/tCpi),
+            # as in `src/blah2.cpp:186`.
+            1.0 / proc.data.cpi,
+            ambiguity.delay_axis, ambiguity.doppler_axis,
+            max_detections=max_detections, interpret=interpret,
+        )
+
     def __call__(self, z: jnp.ndarray):
         """z: complex (nr, nc) ambiguity map.
 

@@ -45,7 +45,8 @@ def _ppermute_from_prev(tail: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
 
 def _rdma_permute(v: jnp.ndarray, axis_name: str, to_left: bool,
-                  interpret: bool, n_mesh_axes: int = 1) -> jnp.ndarray:
+                  interpret: bool, n_mesh_axes: int = 1,
+                  collective_id: int = 0) -> jnp.ndarray:
     """Send ``v`` (any small f32 array) to the left (d→d−1) or right (d→d+1)
     ring neighbour via an explicit remote DMA; returns the received buffer.
     Circular — caller masks the wrap-around edge."""
@@ -109,7 +110,11 @@ def _rdma_permute(v: jnp.ndarray, axis_name: str, to_left: bool,
         scratch_shapes=[pltpu.SemaphoreType.DMA] * 2,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            **({} if interpret else {"collective_id": 7}),
+            # Kernels that XLA may schedule concurrently MUST NOT share a
+            # collective_id (they would share one barrier semaphore and the
+            # neighbour barrier stops meaning "same kernel instance") —
+            # callers assign a distinct id per data-independent call site.
+            **({} if interpret else {"collective_id": int(collective_id)}),
         ),
         interpret=interpret,
     )(v)
@@ -131,7 +136,8 @@ def _from_planes(p: jnp.ndarray, cdtype):
 def shift_from_next(v: jnp.ndarray, count: int, axis_name: str,
                     backend: str = "ppermute",
                     interpret: bool = False,
-                    n_mesh_axes: int = 1) -> jnp.ndarray:
+                    n_mesh_axes: int = 1,
+                    collective_id: int = 0) -> jnp.ndarray:
     """First ``count`` samples of the *next* device's block (d ← d+1);
     zeros on the last device (linear/zero-extended boundary)."""
     head = v[..., :count]
@@ -139,7 +145,7 @@ def shift_from_next(v: jnp.ndarray, count: int, axis_name: str,
         return _ppermute_from_next(head, axis_name)
     p, cdtype = _as_planes(head)
     got = _rdma_permute(p, axis_name, to_left=True, interpret=interpret,
-                        n_mesh_axes=n_mesh_axes)
+                        n_mesh_axes=n_mesh_axes, collective_id=collective_id)
     got = _from_planes(got, cdtype)
     my_id = lax.axis_index(axis_name)
     last = lax.axis_size(axis_name) - 1
@@ -149,7 +155,8 @@ def shift_from_next(v: jnp.ndarray, count: int, axis_name: str,
 def shift_from_prev(v: jnp.ndarray, count: int, axis_name: str,
                     backend: str = "ppermute",
                     interpret: bool = False,
-                    n_mesh_axes: int = 1) -> jnp.ndarray:
+                    n_mesh_axes: int = 1,
+                    collective_id: int = 0) -> jnp.ndarray:
     """Last ``count`` samples of the *previous* device's block (d ← d−1);
     zeros on device 0."""
     tail = v[..., -count:]
@@ -157,7 +164,7 @@ def shift_from_prev(v: jnp.ndarray, count: int, axis_name: str,
         return _ppermute_from_prev(tail, axis_name)
     p, cdtype = _as_planes(tail)
     got = _rdma_permute(p, axis_name, to_left=False, interpret=interpret,
-                        n_mesh_axes=n_mesh_axes)
+                        n_mesh_axes=n_mesh_axes, collective_id=collective_id)
     got = _from_planes(got, cdtype)
     my_id = lax.axis_index(axis_name)
     return jnp.where(my_id == 0, jnp.zeros_like(got), got)

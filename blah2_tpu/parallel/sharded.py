@@ -88,8 +88,11 @@ class ShardedCpiPipeline:
         self.mesh = mesh
         self.dtype = dtype
         # Halo-exchange backend (parallel.halo): "ppermute" (XLA collective
-        # permute) or "pallas" (explicit inter-chip RDMA kernel; interpreted
-        # off-TPU so the virtual CPU mesh can validate it).
+        # permute, the default everywhere) or "pallas" (explicit inter-chip
+        # RDMA kernel for real ICI-connected slices). Off-TPU the pallas
+        # backend only interprets on 1-D meshes — on this 2-axis mesh it
+        # raises; tests/test_halo.py validates the kernel on a pulse-only
+        # mesh instead.
         if halo_backend not in ("ppermute", "pallas"):
             raise ValueError(f"unknown halo backend {halo_backend!r}")
         self._halo_kw = dict(backend=halo_backend)
@@ -176,25 +179,21 @@ class ShardedCpiPipeline:
             if use_pallas_detect:
                 from blah2_tpu.ops.pallas_detect import FusedDetector
 
-                self.fused_detector = FusedDetector(
-                    proc.detection.pfa, proc.detection.n_guard,
-                    proc.detection.n_train, proc.detection.min_delay,
-                    proc.detection.min_doppler, proc.detection.n_centroid,
-                    proc.detection.n_centroid, 1.0 / proc.data.cpi,
-                    amb.delay_axis, amb.doppler_axis,
-                    max_detections=max_detections,
-                )
+                self.fused_detector = FusedDetector.from_config(
+                    proc, amb, max_detections=max_detections)
 
         self._in_sharding = NamedSharding(mesh, P("cpi", "pulse", None))
         self._fn = jax.jit(self._step)
 
     # -- inside shard_map: one CPI, one device block -------------------------
-    def _segments_right_halo(self, v_loc: jnp.ndarray) -> jnp.ndarray:
+    def _segments_right_halo(self, v_loc: jnp.ndarray,
+                             cid: int = 0) -> jnp.ndarray:
         """(block_len,) → (n_seg_local, seg_len + nb − 1) with halo; the last
         segment's halo comes from the next device (zeros at the global end)."""
         h = self.nb - 1
         main = v_loc.reshape(self.n_seg_local, self.seg_len)
-        halo_next = shift_from_next(v_loc, h, "pulse", **self._halo_kw)
+        halo_next = shift_from_next(v_loc, h, "pulse", collective_id=cid,
+                                    **self._halo_kw)
         if self.n_seg_local > 1:
             tails = jnp.concatenate([main[1:, :h], halo_next[None, :]], axis=0)
         else:
@@ -208,16 +207,20 @@ class ShardedCpiPipeline:
 
         # Linear shift: xs[i] = x[i − s] with zero extension at the ends.
         if s < 0:
-            incoming = shift_from_next(x_loc, -s, "pulse", **self._halo_kw)
+            incoming = shift_from_next(x_loc, -s, "pulse", collective_id=2,
+                                       **self._halo_kw)
             xs_loc = jnp.concatenate([x_loc[-s:], incoming])
         elif s > 0:
-            incoming = shift_from_prev(x_loc, s, "pulse", **self._halo_kw)
+            incoming = shift_from_prev(x_loc, s, "pulse", collective_id=2,
+                                       **self._halo_kw)
             xs_loc = jnp.concatenate([incoming, x_loc[:-s]])
         else:
             xs_loc = x_loc
 
-        xs_ext = self._segments_right_halo(xs_loc)
-        y_ext = self._segments_right_halo(y_loc)
+        # Distinct collective ids: these halo kernels have no data
+        # dependency on each other, so XLA may run them concurrently.
+        xs_ext = self._segments_right_halo(xs_loc, cid=0)
+        y_ext = self._segments_right_halo(y_loc, cid=1)
         xs_seg = xs_loc.reshape(self.n_seg_local, self.seg_len)
 
         xf_seg = jnp.conj(jnp.fft.fft(xs_seg, n=f, axis=-1))
@@ -241,7 +244,8 @@ class ShardedCpiPipeline:
 
         # Overlap-save FIR: left halo from the previous device.
         h = self.nb - 1
-        halo_prev = shift_from_prev(xs_loc, h, "pulse", **self._halo_kw)
+        halo_prev = shift_from_prev(xs_loc, h, "pulse", collective_id=3,
+                                    **self._halo_kw)
         main = xs_seg
         if self.n_seg_local > 1:
             heads = jnp.concatenate(

@@ -259,25 +259,37 @@ class RadarRuntime:
         the wait.
         """
         n, adv = self.n_samples, self.advance
+
+        def drops():
+            return (getattr(self.buffer1, "dropped", 0),
+                    getattr(self.buffer2, "dropped", 0))
+
         # Seam detection: if the drop-oldest ring overflowed since the last
         # extraction, the kept tail is no longer contiguous with the next
         # popped samples — discard it and assemble a fresh full window.
-        drops = (getattr(self.buffer1, "dropped", 0),
-                 getattr(self.buffer2, "dropped", 0))
-        if drops != self._last_drops:
-            self._last_drops = drops
+        if drops() != self._last_drops:
             self._tail_x = self._tail_y = None
         fresh = self._tail_x is None or adv >= n
         count = n if fresh else adv
         deadline = time.monotonic() + timeout
-        while len(self.buffer1) < count or len(self.buffer2) < count:
-            if self._stop.is_set() or time.monotonic() >= deadline:
-                return None
-            time.sleep(0.001)
+        if not self.buffer1.wait_for(count, timeout=timeout):
+            return None
+        if not self.buffer2.wait_for(
+                count, timeout=max(0.0, deadline - time.monotonic())):
+            return None
         self.timer.start()
         xnew = self.buffer1.pop(count, timeout=0.1)
         ynew = self.buffer2.pop(count, timeout=0.1)
         if xnew is None or ynew is None:  # closed mid-pop
+            self._tail_x = self._tail_y = None
+            return None
+        # Re-read AFTER the pops: an overflow racing the wait/pop would
+        # seam tail↔new continuity (a freshly popped full window is always
+        # internally contiguous — the ring lock covers the copy).
+        d_now = drops()
+        seamed = not fresh and d_now != self._last_drops
+        self._last_drops = d_now
+        if seamed:
             self._tail_x = self._tail_y = None
             return None
         if fresh:

@@ -127,6 +127,20 @@ int b2_ring_push_wait(B2Ring *r, const float *iq, int64_t n,
   return 1;
 }
 
+// Block until at least n samples are available (no consumption).
+// Returns 1 when available, 0 on timeout or closed-and-short.
+int b2_ring_wait_len(B2Ring *r, int64_t n, double timeout_s) {
+  std::unique_lock<std::mutex> g(r->mu);
+  auto pred = [&] { return r->len >= n || r->closed; };
+  if (timeout_s < 0) {
+    r->not_empty.wait(g, pred);
+  } else if (!r->not_empty.wait_for(
+                 g, std::chrono::duration<double>(timeout_s), pred)) {
+    return 0;
+  }
+  return r->len >= n ? 1 : 0;
+}
+
 // Pop the oldest n samples into out. Returns 1 on success, 0 on
 // timeout/closed-and-short.
 int b2_ring_pop(B2Ring *r, float *out, int64_t n, double timeout_s) {
