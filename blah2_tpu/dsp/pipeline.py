@@ -172,6 +172,13 @@ class CpiPipeline:
         # record format (RspDuo.cpp:150-179) — as a SINGLE host->device
         # transfer; channels split and widen on device.
         self._fn_quad = jax.jit(lambda q: fn(q[:, :2], q[:, 2:]))
+        self._fn_raw = fn
+        # Chunked entries (streaming ingest): the CPI arrives as B
+        # fixed-size plane blocks already resident on device (the runtime
+        # device_puts each block as capture delivers it, so the transfer
+        # rides the CPI fill window like the reference's capture thread t1,
+        # `src/blah2.cpp:137-139`); the program concatenates on device.
+        self._chunked_cache: dict = {}
         self._plane_dtype = jnp.float64 if dtype == jnp.complex128 \
             else jnp.float32
 
@@ -244,6 +251,27 @@ class CpiPipeline:
         """Process one CPI from interleaved (n, 4) [i1,q1,i2,q2] samples —
         the SDR/replay record layout — in a single host->device transfer."""
         return self._fn_quad(quads)
+
+    def call_chunks(self, x_chunks, y_chunks) -> CpiOutputs:
+        """Process one CPI delivered as equal-size (c, 2) plane chunks.
+
+        The chunks are typically device-resident already (streaming ingest:
+        the runtime ships each block as capture delivers it); the jitted
+        program concatenates them on device and runs the standard pipeline.
+        One program is compiled and cached per chunk count.
+        """
+        key = (len(x_chunks), len(y_chunks))
+        prog = self._chunked_cache.get(key)
+        if prog is None:
+            fn = self._fn_raw
+
+            def fnc(xc, yc):
+                return fn(jnp.concatenate(xc, axis=0),
+                          jnp.concatenate(yc, axis=0))
+
+            prog = jax.jit(fnc)
+            self._chunked_cache[key] = prog
+        return prog(tuple(x_chunks), tuple(y_chunks))
 
     def call_staged(self, x, y, timer=None) -> CpiOutputs:
         """Run the pipeline as separately-timed stages.

@@ -41,6 +41,10 @@ def main(argv=None) -> int:
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace for the first CPIs "
                              "to this directory")
+    parser.add_argument("--ingest-chunks", type=int, default=None,
+                        help="stream each CPI to the device in this many "
+                             "blocks as capture delivers them (transfer "
+                             "overlaps the fill window; default: auto)")
     parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -65,7 +69,8 @@ def main(argv=None) -> int:
 
     runtime = RadarRuntime(config, api_server=api_server,
                            use_tcp_egress=args.tcp_egress,
-                           staged_timing=args.staged_timing)
+                           staged_timing=args.staged_timing,
+                           ingest_chunks=args.ingest_chunks)
     runtime.install_signal_handlers()
     runtime.start_capture()
     profiler = None

@@ -51,12 +51,23 @@ class RadarRuntime:
         use_tcp_egress: bool = False,
         max_detections: int = 128,
         staged_timing: bool = False,
+        ingest_chunks: Optional[int] = None,
     ):
         """``api_server``: an ApiServer for in-process publishing; when
         ``use_tcp_egress`` the products are instead sent over the six TCP
         streams (reference contract). ``staged_timing`` runs the device
         pipeline as separately-timed stages so the timing product carries
-        every reference stage key (slower: per-stage sync barriers)."""
+        every reference stage key (slower: per-stage sync barriers).
+
+        ``ingest_chunks``: chunked streaming ingest — pop the CPI from the
+        rings in this many fixed-size blocks and ship each to the device as
+        soon as capture delivers it (async ``device_put``), so the
+        host->device transfer overlaps the CPI fill window exactly like the
+        reference's capture thread t1 runs concurrently with the process
+        thread t2 (`src/blah2.cpp:137-139`). Per-CPI latency then excludes
+        the transfer. ``None`` picks 8 when the geometry allows (chunk size
+        must divide both n_samples and the overlap advance), 1 otherwise;
+        1 disables chunking. Ignored under ``staged_timing``."""
         import jax.numpy as jnp
 
         from blah2_tpu.dsp.pipeline import CpiPipeline
@@ -87,6 +98,27 @@ class RadarRuntime:
         self._tail_x: Optional[np.ndarray] = None
         self._tail_y: Optional[np.ndarray] = None
         self._last_drops = (0, 0)
+        # Chunked streaming ingest state (see __init__ docstring).
+        if ingest_chunks is None:
+            ingest_chunks = 8
+            if self.n_samples % ingest_chunks:
+                ingest_chunks = 1
+            elif self.advance < self.n_samples and \
+                    self.advance % (self.n_samples // ingest_chunks):
+                ingest_chunks = 1
+        self.ingest_chunks = max(1, int(ingest_chunks))
+        if self.ingest_chunks > 1:
+            if self.n_samples % self.ingest_chunks:
+                raise ValueError(
+                    f"ingest_chunks={self.ingest_chunks} must divide "
+                    f"n_samples={self.n_samples}")
+            chunk = self.n_samples // self.ingest_chunks
+            if self.advance < self.n_samples and self.advance % chunk:
+                raise ValueError(
+                    f"chunk size {chunk} must divide the overlap advance "
+                    f"{self.advance}")
+        self._retained_chunks: list = []   # device (xd, yd) pairs kept
+        self._pending_chunks: list = []    # device pairs of the in-fill CPI
         # Native C++ ring buffers when built (make -C native), else Python.
         self.buffer1 = make_ring_buffer(config.buffer_samples)
         self.buffer2 = make_ring_buffer(config.buffer_samples)
@@ -184,9 +216,6 @@ class RadarRuntime:
         """
         import jax
 
-        jnp = self._jnp
-        cfg = self.config
-        amb = self.pipeline.ambiguity
         timer = self.timer
         t0 = timestamp_ms if timestamp_ms is not None else _now_ms()
 
@@ -201,6 +230,25 @@ class RadarRuntime:
             # The fused device program covers spectrum + clutter +
             # ambiguity + CFAR; reported under ambiguity_processing.
             timer.stage("ambiguity_processing")
+        return self._emit_products(out, t0)
+
+    def process_one_cpi_chunks(self, x_chunks, y_chunks,
+                               timestamp_ms: Optional[int] = None) -> dict:
+        """Process one CPI delivered as device-resident plane chunks
+        (streaming ingest, `_extract_cpi_chunks`) and emit all products."""
+        import jax
+
+        t0 = timestamp_ms if timestamp_ms is not None else _now_ms()
+        out = self.pipeline.call_chunks(x_chunks, y_chunks)
+        jax.block_until_ready(out.db_map)
+        self.timer.stage("ambiguity_processing")
+        return self._emit_products(out, t0)
+
+    def _emit_products(self, out, t0: int) -> dict:
+        """Serialize and emit every JSON product for one CPI's outputs."""
+        cfg = self.config
+        amb = self.pipeline.ambiguity
+        timer = self.timer
         emitted = {}
 
         # IqData metadata (spectrum)
@@ -301,18 +349,91 @@ class RadarRuntime:
             self._tail_x, self._tail_y = x[adv:], y[adv:]
         return x, y
 
+    def _extract_cpi_chunks(self, timeout: float = 1.0):
+        """Streaming-ingest extraction: pop the CPI in fixed-size blocks and
+        ship each block to the device the moment capture delivers it
+        (async ``device_put``), so the host->device transfer rides the CPI
+        fill window — the analog of the reference's capture thread t1
+        filling the rings while thread t2 processes
+        (`src/blah2.cpp:137-139,245-260`). Returns ``(x_chunks, y_chunks)``
+        lists of device-resident (c, 2) plane arrays, or ``None`` on
+        timeout (accumulated chunks are kept for the next call).
+
+        Overlap reuses the previous window's tail chunks (device-resident;
+        chunk size divides the advance, enforced at init). Ring overflow
+        (drop-oldest) breaks contiguity between already-popped chunks and
+        the next pop, so on a drop-counter change all accumulated chunks
+        are discarded and the window restarts — same seam semantics as
+        `_extract_cpi`.
+        """
+        import jax
+
+        pipe = self.pipeline
+        n = self.n_samples
+        B = self.ingest_chunks
+        c = n // B
+        keep = 0 if self.advance >= n else (n - self.advance) // c
+
+        def drops():
+            return (getattr(self.buffer1, "dropped", 0),
+                    getattr(self.buffer2, "dropped", 0))
+
+        if drops() != self._last_drops:
+            self._retained_chunks = []
+            self._pending_chunks = []
+        deadline = time.monotonic() + timeout
+        while len(self._retained_chunks) + len(self._pending_chunks) < B:
+            rem = deadline - time.monotonic()
+            if rem <= 0:
+                return None
+            if not self.buffer1.wait_for(c, timeout=rem):
+                return None
+            if not self.buffer2.wait_for(
+                    c, timeout=max(0.0, deadline - time.monotonic())):
+                return None
+            xb = self.buffer1.pop(c, timeout=0.1)
+            yb = self.buffer2.pop(c, timeout=0.1)
+            if xb is None or yb is None:  # closed mid-pop
+                self._retained_chunks = []
+                self._pending_chunks = []
+                return None
+            # Re-read AFTER the pops: an overflow racing the wait/pop may
+            # have desynchronised this pair from the accumulated chunks (or
+            # the two channels from each other) — discard and restart.
+            d_now = drops()
+            if d_now != self._last_drops:
+                self._last_drops = d_now
+                self._retained_chunks = []
+                self._pending_chunks = []
+                continue
+            xd = jax.device_put(pipe.to_planes(xb, pipe._plane_dtype))
+            yd = jax.device_put(pipe.to_planes(yb, pipe._plane_dtype))
+            self._pending_chunks.append((xd, yd))
+        self.timer.start()
+        chunks = self._retained_chunks + self._pending_chunks
+        self._retained_chunks = chunks[B - keep:] if keep else []
+        self._pending_chunks = []
+        return [p[0] for p in chunks], [p[1] for p in chunks]
+
     def run(self, n_cpis: Optional[int] = None, quiet: bool = False) -> None:
         """Main CPI loop (`src/blah2.cpp:245-361`)."""
+        chunked = self.ingest_chunks > 1 and not self.staged_timing
         while not self._stop.is_set():
             if n_cpis is not None and self.n_cpis_done >= n_cpis:
                 break
-            got = self._extract_cpi()
+            if chunked:
+                got = self._extract_cpi_chunks()
+            else:
+                got = self._extract_cpi()
             if got is None:
                 continue
             x, y = got
             t0 = _now_ms()
             self.timer.stage("extract_buffer")
-            self.process_one_cpi(x, y, t0)
+            if chunked:
+                self.process_one_cpi_chunks(x, y, t0)
+            else:
+                self.process_one_cpi(x, y, t0)
             cpi_ms = self.timer.finish_cpi()
             if not quiet:
                 print(f"CPI time (ms): {cpi_ms:.1f}", flush=True)

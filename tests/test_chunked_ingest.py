@@ -1,0 +1,161 @@
+"""Chunked streaming ingest: the CPI crosses the host->device boundary as
+fixed-size blocks shipped as capture delivers them (the analog of the
+reference's capture thread t1 filling the rings concurrently with the
+process thread t2, `src/blah2.cpp:137-139,245-260`), and the jitted program
+concatenates on device. Must be bit-identical to the single-transfer path.
+"""
+
+import numpy as np
+import pytest
+
+from blah2_tpu.config import config_from_dict
+from blah2_tpu.dsp.pipeline import CpiPipeline
+from blah2_tpu.runtime.radar import RadarRuntime
+
+
+def _cfg(overlap=0.0, detection=True):
+    return config_from_dict({
+        "capture": {"fs": 40_000, "fc": 100_000_000, "type": "Synthetic"},
+        "process": {
+            "data": {"cpi": 0.1, "buffer": 4, "overlap": overlap},
+            "ambiguity": {"delayMin": -5, "delayMax": 40,
+                          "dopplerMin": -50, "dopplerMax": 50},
+            "clutter": {"enable": True, "delayMin": -5, "delayMax": 40},
+            "detection": {"enable": detection, "pfa": 1e-4, "nGuard": 1,
+                          "nTrain": 4, "minDelay": 3, "minDoppler": 10,
+                          "nCentroid": 4},
+        },
+    })
+
+
+def _iq(n, seed=0):
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    y = (2.0 * x + 0.05 * np.roll(x, 11)).astype(np.complex64)
+    return x, y
+
+
+def test_call_chunks_matches_single_transfer():
+    cfg = _cfg()
+    pipe = CpiPipeline(cfg)
+    n = cfg.n_samples
+    x, y = _iq(n)
+    ref = pipe(x, y)
+
+    for n_chunks in (2, 4, 8):
+        assert n % n_chunks == 0
+        c = n // n_chunks
+        xc = [pipe.to_planes(x[i * c:(i + 1) * c]) for i in range(n_chunks)]
+        yc = [pipe.to_planes(y[i * c:(i + 1) * c]) for i in range(n_chunks)]
+        out = pipe.call_chunks(xc, yc)
+        np.testing.assert_array_equal(np.asarray(out.db_map),
+                                      np.asarray(ref.db_map))
+        np.testing.assert_array_equal(np.asarray(out.detections.valid),
+                                      np.asarray(ref.detections.valid))
+        np.testing.assert_array_equal(np.asarray(out.spectrum_db),
+                                      np.asarray(ref.spectrum_db))
+
+
+def test_runtime_chunked_matches_unchunked_products():
+    cfg = _cfg()
+    n = cfg.n_samples
+    x, y = _iq(n, seed=3)
+
+    rt_ref = RadarRuntime(cfg, ingest_chunks=1)
+    ref = rt_ref.process_one_cpi(x, y, timestamp_ms=1234)
+
+    rt = RadarRuntime(cfg, ingest_chunks=4)
+    rt.buffer1.push(x)
+    rt.buffer2.push(y)
+    got = rt._extract_cpi_chunks(timeout=0.2)
+    assert got is not None
+    xc, yc = got
+    assert len(xc) == 4 and len(yc) == 4
+    out = rt.process_one_cpi_chunks(xc, yc, timestamp_ms=1234)
+    assert out["map"] == ref["map"]
+    assert out["detection"] == ref["detection"]
+    assert out["iqdata"] == ref["iqdata"]
+
+
+def test_chunked_overlap_windows_slide():
+    cfg = _cfg(overlap=0.5, detection=False)
+    rt = RadarRuntime(cfg, ingest_chunks=4)
+    n, adv = rt.n_samples, rt.advance
+    assert adv == n // 2
+
+    total = 4 * n
+    ramp = (np.arange(total) + 0j).astype(np.complex64)
+    rt.buffer1.push(ramp)
+    rt.buffer2.push(ramp)
+
+    starts = []
+    for _ in range(3):
+        got = rt._extract_cpi_chunks(timeout=0.2)
+        assert got is not None
+        xc, _ = got
+        window = np.concatenate([np.asarray(p)[:, 0] for p in xc])
+        assert window.shape == (n,)
+        np.testing.assert_array_equal(window,
+                                      np.arange(window[0], window[0] + n))
+        starts.append(int(window[0]))
+    assert starts == [0, adv, 2 * adv]
+
+
+def test_chunked_timeout_keeps_partial_progress():
+    cfg = _cfg(detection=False)
+    rt = RadarRuntime(cfg, ingest_chunks=4)
+    n = rt.n_samples
+    c = n // 4
+    ramp = (np.arange(2 * n) + 0j).astype(np.complex64)
+
+    # Only half the window available: extraction times out but must keep
+    # the popped chunks so no samples are lost.
+    rt.buffer1.push(ramp[: 2 * c])
+    rt.buffer2.push(ramp[: 2 * c])
+    assert rt._extract_cpi_chunks(timeout=0.05) is None
+    assert len(rt._pending_chunks) == 2
+
+    rt.buffer1.push(ramp[2 * c: n])
+    rt.buffer2.push(ramp[2 * c: n])
+    got = rt._extract_cpi_chunks(timeout=0.2)
+    assert got is not None
+    xc, _ = got
+    window = np.concatenate([np.asarray(p)[:, 0] for p in xc])
+    np.testing.assert_array_equal(window, np.arange(n))
+
+
+def test_chunked_overflow_resets_window():
+    cfg = _cfg(overlap=0.5, detection=False)
+    rt = RadarRuntime(cfg, ingest_chunks=4)
+    n = rt.n_samples
+    cap = rt.buffer1.capacity
+
+    ramp = (np.arange(n) + 0j).astype(np.complex64)
+    rt.buffer1.push(ramp)
+    rt.buffer2.push(ramp)
+    got = rt._extract_cpi_chunks(timeout=0.2)
+    assert got is not None
+    assert rt._retained_chunks  # overlap tail kept on device
+
+    # Overflow the rings: the retained tail is no longer contiguous with
+    # the next popped samples — the window must restart fresh.
+    more = (np.arange(cap + n) + 5_000_000 + 0j).astype(np.complex64)
+    rt.buffer1.push(more)
+    rt.buffer2.push(more)
+    assert rt.buffer1.dropped > 0
+    got = rt._extract_cpi_chunks(timeout=0.2)
+    assert got is not None
+    xc, _ = got
+    window = np.concatenate([np.asarray(p)[:, 0] for p in xc])
+    # fresh contiguous window, not stitched across the seam
+    np.testing.assert_array_equal(window,
+                                  np.arange(window[0], window[0] + n))
+    assert window[0] >= 5_000_000
+
+
+def test_bad_chunk_geometry_rejected():
+    cfg = _cfg()
+    n = cfg.n_samples
+    with pytest.raises(ValueError, match="divide"):
+        RadarRuntime(cfg, ingest_chunks=7 if n % 7 else 11)
