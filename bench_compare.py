@@ -1,0 +1,224 @@
+"""Comparison tier: alternative-algorithm benchmarking, no pass/fail.
+
+The reference declares a three-tier test taxonomy — unit, functional,
+comparison — but ships only unit tests; the comparison tier ("alternative
+algorithm benchmarking", `test/README.md`, anticipated by CMake vars
+`CMakeLists.txt:27-29`) is an empty directory. This implements it.
+
+Each comparison runs two or more interchangeable implementations of the
+same stage on identical inputs and reports wall time plus an agreement
+measure. Nothing fails: the output is data for choosing defaults.
+
+Comparisons:
+  clutter     Wiener-Hopf in circular mode (reference-exact correlations,
+              `WienerHopf.cpp:71-108`) vs linear mode (shard-decomposable
+              segmented correlations, `blah2_tpu/ops/corr.py`).
+  detection   fused Pallas metrics+CFAR+centroid kernel
+              (`blah2_tpu/ops/pallas_detect.py`) vs the composed XLA ops
+              path (`dsp/cfar.py` + `dsp/centroid.py`).
+  fft_size    batched FFT at the Hamming-rounded size the reference uses
+              (`HammingNumber.cpp:38-48`) vs the TPU-fast size
+              (`next_tpu_fft_size`: large power-of-2 factor) — the ~10x
+              TPU FFT cliff that motivates padding the compute size.
+  ingest      one CPI crossing the host->device boundary as a single int16
+              quad transfer vs chunked streaming blocks
+              (`CpiPipeline.call_quad` vs `call_chunks`).
+
+Prints one JSON line per comparison. Default geometry is small enough for
+CPU CI; pass --full for the production config.yml geometry (use on TPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _best_ms(f, reps: int) -> float:
+    r = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        f()
+        r.append((time.perf_counter() - t0) * 1e3)
+    return min(r)
+
+
+def _scene(n: int, fs: float, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    y = (2.0 * x
+         + 0.1 * np.roll(x, 23) * np.exp(2j * np.pi * 40.0 *
+                                         np.arange(n) / fs)
+         + 1e-3 * (rng.standard_normal(n)
+                   + 1j * rng.standard_normal(n))).astype(np.complex64)
+    return x, y
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--full", action="store_true",
+                        help="production config.yml geometry (fs=2 MHz, "
+                             "tCpi=0.75 s); default is a small CPU-fast one")
+    parser.add_argument("--platform", default=None,
+                        help="jax platform override (e.g. cpu)")
+    parser.add_argument("--reps", type=int, default=5)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/blah2_tpu_jax_cache")
+
+    import jax.numpy as jnp
+
+    from blah2_tpu.config import config_from_dict
+    from blah2_tpu.dsp.clutter import WienerHopfFilter
+    from blah2_tpu.dsp.hamming import next_hamming, next_tpu_fft_size
+    from blah2_tpu.dsp.pipeline import CpiPipeline
+
+    if args.full:
+        cap = {"fs": 2_000_000, "fc": 204_640_000}
+        proc = {"data": {"cpi": 0.75},
+                "ambiguity": {"delayMin": -10, "delayMax": 400,
+                              "dopplerMin": -300, "dopplerMax": 300},
+                "clutter": {"enable": True, "delayMin": -10,
+                            "delayMax": 400},
+                "detection": {"enable": True, "pfa": 1e-5, "nGuard": 2,
+                              "nTrain": 10, "minDelay": 5, "minDoppler": 15,
+                              "nCentroid": 16}}
+    else:
+        cap = {"fs": 100_000, "fc": 204_640_000}
+        proc = {"data": {"cpi": 0.2},
+                "ambiguity": {"delayMin": -5, "delayMax": 60,
+                              "dopplerMin": -100, "dopplerMax": 100},
+                "clutter": {"enable": True, "delayMin": -5, "delayMax": 60},
+                "detection": {"enable": True, "pfa": 1e-4, "nGuard": 1,
+                              "nTrain": 6, "minDelay": 3, "minDoppler": 10,
+                              "nCentroid": 6}}
+    cfg = config_from_dict({"capture": cap, "process": proc})
+    n, fs = cfg.n_samples, cfg.capture.fs
+    x, y = _scene(n, fs)
+    reps = args.reps
+
+    results = []
+
+    # -- clutter: circular vs linear -------------------------------------
+    variants = []
+    outs = {}
+    for mode in ("circular", "linear"):
+        filt = WienerHopfFilter(proc["clutter"]["delayMin"],
+                                proc["clutter"]["delayMax"], n, mode=mode)
+        run = jax.jit(filt.__call__)
+        yf, ok = run(jnp.asarray(x), jnp.asarray(y))
+        np.asarray(ok)
+        outs[mode] = np.asarray(yf)
+        wall = _best_ms(lambda: np.asarray(run(jnp.asarray(x),
+                                               jnp.asarray(y))[1]), reps)
+        variants.append({"name": mode, "wall_ms": round(wall, 2)})
+    denom = float(np.linalg.norm(outs["circular"])) or 1.0
+    results.append({
+        "comparison": "clutter_wiener_hopf",
+        "variants": variants,
+        "agreement": {"rel_l2_diff": round(float(
+            np.linalg.norm(outs["circular"] - outs["linear"])) / denom, 6)},
+    })
+
+    # -- detection: fused Pallas vs composed XLA ops ----------------------
+    pipes = {
+        "pallas_fused": CpiPipeline(cfg, use_pallas=True),
+        "xla_ops": CpiPipeline(cfg, use_pallas=False),
+    }
+    variants = []
+    dets = {}
+    for name, pipe in pipes.items():
+        out = pipe(x, y)
+        np.asarray(out.noise_power)
+        v = np.asarray(out.detections.valid)
+        dets[name] = set(zip(np.asarray(out.detections.row)[v].tolist(),
+                             np.asarray(out.detections.col)[v].tolist()))
+        wall = _best_ms(lambda: np.asarray(pipe(x, y).noise_power), reps)
+        variants.append({"name": name, "wall_ms": round(wall, 2),
+                         "n_detections": int(v.sum())})
+    both = dets["pallas_fused"] & dets["xla_ops"]
+    results.append({
+        "comparison": "detection_kernel",
+        "variants": variants,
+        "agreement": {
+            "common_cells": len(both),
+            "only_pallas": len(dets["pallas_fused"] - both),
+            "only_xla": len(dets["xla_ops"] - both),
+        },
+    })
+
+    # -- fft size: Hamming-rounded vs TPU-fast ---------------------------
+    n_corr = pipes["pallas_fused"].ambiguity.n_corr
+    n_batch = pipes["pallas_fused"].ambiguity.n_doppler_bins
+    nfft_ham = next_hamming(2 * n_corr - 1)
+    nfft_tpu = next_tpu_fft_size(nfft_ham)
+    rng = np.random.default_rng(1)
+    pulses = (rng.standard_normal((n_batch, n_corr))
+              + 1j * rng.standard_normal((n_batch, n_corr))).astype(
+                  np.complex64)
+    pd = jax.device_put(pulses)
+    jax.block_until_ready(pd)
+    variants = []
+    for name, size in (("hamming", nfft_ham), ("tpu_fast", nfft_tpu)):
+        run = jax.jit(lambda a, s=size: jnp.fft.fft(a, n=s, axis=-1))
+        np.asarray(run(pd)[0, 0])
+        wall = _best_ms(lambda: np.asarray(run(pd)[0, 0]), reps)
+        variants.append({"name": name, "nfft": int(size),
+                         "wall_ms": round(wall, 2)})
+    results.append({
+        "comparison": "fft_size",
+        "variants": variants,
+        "agreement": {"note": "identical lags either way; sizes differ"},
+    })
+
+    # -- ingest: single quad transfer vs chunked streaming ---------------
+    pipe = pipes["pallas_fused"]
+
+    def quad_of(v):
+        p = np.asarray(pipe.to_planes(v)) * 2000.0
+        return np.clip(p, -32768, 32767).astype(np.int16)
+
+    quad = np.ascontiguousarray(np.concatenate([quad_of(x), quad_of(y)],
+                                               axis=1))
+    np.asarray(pipe.call_quad(quad).noise_power)
+    n_chunks = 8 if n % 8 == 0 else 1
+    c = n // n_chunks
+    xq, yq = quad[:, :2], quad[:, 2:]
+    xc = [xq[i * c:(i + 1) * c] for i in range(n_chunks)]
+    yc = [yq[i * c:(i + 1) * c] for i in range(n_chunks)]
+    np.asarray(pipe.call_chunks(xc, yc).noise_power)
+    variants = [
+        {"name": "quad_single_transfer",
+         "wall_ms": round(_best_ms(
+             lambda: np.asarray(pipe.call_quad(quad).noise_power), reps), 2)},
+        {"name": f"chunked_x{n_chunks}",
+         "wall_ms": round(_best_ms(
+             lambda: np.asarray(pipe.call_chunks(
+                 [jax.device_put(b) for b in xc],
+                 [jax.device_put(b) for b in yc]).noise_power), reps), 2)},
+    ]
+    a = np.asarray(pipe.call_quad(quad).db_map)
+    b = np.asarray(pipe.call_chunks(xc, yc).db_map)
+    results.append({
+        "comparison": "ingest_path",
+        "variants": variants,
+        "agreement": {"db_map_identical": bool(np.array_equal(a, b))},
+    })
+
+    for r in results:
+        r["geometry"] = {"n_samples": n, "fs": fs,
+                         "backend": jax.default_backend()}
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

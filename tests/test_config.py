@@ -58,7 +58,8 @@ def test_defaults():
 @pytest.mark.skipif(not os.path.isdir(REFERENCE_CONFIG_DIR),
                     reason="reference configs not mounted")
 @pytest.mark.parametrize("name", ["config.yml", "config-usrp.yml",
-                                  "config-hackrf.yml", "config-kraken.yml"])
+                                  "config-hackrf.yml", "config-kraken.yml",
+                                  "radar4.yml"])
 def test_reference_configs_load(name):
     path = os.path.join(REFERENCE_CONFIG_DIR, name)
     if not os.path.exists(path):
