@@ -45,6 +45,14 @@ def main(argv=None) -> int:
                         help="stream each CPI to the device in this many "
                              "blocks as capture delivers them (transfer "
                              "overlaps the fill window; default: auto)")
+    parser.add_argument("--mesh", default=None, metavar="CPIxPULSE",
+                        help="run the multi-chip sharded pipeline over a "
+                             "(cpi, pulse) device mesh, e.g. 2x4 "
+                             "(requires cpi*pulse <= len(jax.devices()))")
+    parser.add_argument("--halo-backend", default="ppermute",
+                        choices=("ppermute", "pallas"),
+                        help="overlap-save halo exchange backend in mesh "
+                             "mode")
     parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -67,10 +75,21 @@ def main(argv=None) -> int:
         print(f"API on http://{config.network.ip}:{config.network.api}",
               flush=True)
 
+    mesh = None
+    if args.mesh:
+        from blah2_tpu.parallel.mesh import make_radar_mesh
+
+        try:
+            n_cpi, n_pulse = (int(v) for v in args.mesh.lower().split("x"))
+        except ValueError:
+            parser.error(f"--mesh must look like 2x4, got {args.mesh!r}")
+        mesh = make_radar_mesh(n_cpi, n_pulse)
+
     runtime = RadarRuntime(config, api_server=api_server,
                            use_tcp_egress=args.tcp_egress,
                            staged_timing=args.staged_timing,
-                           ingest_chunks=args.ingest_chunks)
+                           ingest_chunks=args.ingest_chunks,
+                           mesh=mesh, halo_backend=args.halo_backend)
     runtime.install_signal_handlers()
     runtime.start_capture()
     profiler = None

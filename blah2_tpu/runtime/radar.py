@@ -52,6 +52,8 @@ class RadarRuntime:
         max_detections: int = 128,
         staged_timing: bool = False,
         ingest_chunks: Optional[int] = None,
+        mesh=None,
+        halo_backend: str = "ppermute",
     ):
         """``api_server``: an ApiServer for in-process publishing; when
         ``use_tcp_egress`` the products are instead sent over the six TCP
@@ -67,7 +69,16 @@ class RadarRuntime:
         thread t2 (`src/blah2.cpp:137-139`). Per-CPI latency then excludes
         the transfer. ``None`` picks 8 when the geometry allows (chunk size
         must divide both n_samples and the overlap advance), 1 otherwise;
-        1 disables chunking. Ignored under ``staged_timing``."""
+        1 disables chunking. Ignored under ``staged_timing``.
+
+        ``mesh``: a `jax.sharding.Mesh` with axes ``(cpi, pulse)`` — run
+        the multi-chip `ShardedCpiPipeline` instead of the single-chip
+        pipeline. The loop collects ``mesh.shape['cpi']`` CPI windows,
+        processes the batch in one sharded program (pulse-axis sequence
+        parallelism + cpi-axis data parallelism, SURVEY §2.5) and emits
+        every product per CPI; throughput scales with the mesh, product
+        latency becomes ~batch·tCpi. ``halo_backend`` selects the
+        overlap-save exchange ("ppermute" or "pallas" RDMA)."""
         import jax.numpy as jnp
 
         from blah2_tpu.dsp.pipeline import CpiPipeline
@@ -80,6 +91,15 @@ class RadarRuntime:
         self.pipeline = CpiPipeline(config, max_detections=max_detections)
         self.staged_timing = bool(staged_timing)
         amb = self.pipeline.ambiguity
+        self.sharded = None
+        self.cpi_batch = 1
+        if mesh is not None:
+            from blah2_tpu.parallel.sharded import ShardedCpiPipeline
+
+            self.sharded = ShardedCpiPipeline(
+                config, mesh, max_detections=max_detections,
+                halo_backend=halo_backend)
+            self.cpi_batch = int(mesh.shape["cpi"])
 
         from blah2_tpu.native import make_ring_buffer
 
@@ -244,6 +264,48 @@ class RadarRuntime:
         self.timer.stage("ambiguity_processing")
         return self._emit_products(out, t0)
 
+    def process_cpi_batch(self, windows, stamps) -> list:
+        """Process ``len(windows)`` CPI windows in one sharded multi-chip
+        program (mesh mode) and emit every product per CPI.
+
+        ``windows`` is a list of host ``(x, y)`` pairs, ``stamps`` their
+        extraction timestamps (ms). The device wall is amortized over the
+        batch in the per-CPI timing product (the batch runs as one
+        program); emission is timed individually. Returns the list of
+        emitted-JSON dicts.
+        """
+        import jax
+
+        xb = np.stack([w[0] for w in windows])
+        yb = np.stack([w[1] for w in windows])
+        t_dev0 = time.perf_counter()
+        xj, yj = self.sharded.shard_inputs(xb, yb)
+        out = self.sharded(xj, yj)
+        # Force end-to-end completion (block_until_ready returns early on
+        # some remote transports).
+        np.asarray(out.noise_power)
+        device_ms = (time.perf_counter() - t_dev0) * 1e3
+        n_batch = len(windows)
+
+        results = []
+        for i in range(n_batch):
+            out_i = jax.tree.map(lambda a: a[i], out)
+            self.timer.start()
+            emitted = self._emit_products(out_i, stamps[i])
+            names = ["extract_buffer", "ambiguity_processing"] + \
+                self.timer.names
+            times = [0.0, device_ms / n_batch] + self.timer.times_ms
+            names.append("cpi")
+            times.append(sum(times))
+            self.timing.update(stamps[i], times, names)
+            timing_json = self.timing.to_json()
+            if self._save_timing_path:
+                Timing.save(timing_json, self._save_timing_path)
+            self._emit("timing", timing_json)
+            self._emit("timestamp", str(stamps[i]))
+            results.append(emitted)
+        return results
+
     def _emit_products(self, out, t0: int) -> dict:
         """Serialize and emit every JSON product for one CPI's outputs."""
         cfg = self.config
@@ -379,6 +441,10 @@ class RadarRuntime:
                     getattr(self.buffer2, "dropped", 0))
 
         if drops() != self._last_drops:
+            # Contiguity with everything accumulated so far is broken; new
+            # pops are still contiguous among themselves, so re-baseline the
+            # drop counters here (the in-loop recheck catches later races).
+            self._last_drops = drops()
             self._retained_chunks = []
             self._pending_chunks = []
         deadline = time.monotonic() + timeout
@@ -416,7 +482,33 @@ class RadarRuntime:
         return [p[0] for p in chunks], [p[1] for p in chunks]
 
     def run(self, n_cpis: Optional[int] = None, quiet: bool = False) -> None:
-        """Main CPI loop (`src/blah2.cpp:245-361`)."""
+        """Main CPI loop (`src/blah2.cpp:245-361`).
+
+        In mesh mode (``self.sharded``) windows are accumulated into
+        cpi-axis batches; ``n_cpis`` may be overshot by up to batch−1.
+        """
+        if self.sharded is not None:
+            windows, stamps = [], []
+            while not self._stop.is_set():
+                if n_cpis is not None and self.n_cpis_done >= n_cpis:
+                    break
+                got = self._extract_cpi()
+                if got is None:
+                    continue
+                windows.append(got)
+                stamps.append(_now_ms())
+                if len(windows) < self.cpi_batch:
+                    continue
+                t0 = time.perf_counter()
+                self.process_cpi_batch(windows, stamps)
+                if not quiet:
+                    per = (time.perf_counter() - t0) * 1e3 / len(windows)
+                    print(f"CPI time (ms): {per:.1f} "
+                          f"(batch of {len(windows)})", flush=True)
+                self.n_cpis_done += len(windows)
+                windows, stamps = [], []
+            return
+
         chunked = self.ingest_chunks > 1 and not self.staged_timing
         while not self._stop.is_set():
             if n_cpis is not None and self.n_cpis_done >= n_cpis:
