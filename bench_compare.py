@@ -109,17 +109,23 @@ def main(argv=None) -> None:
     results = []
 
     # -- clutter: circular vs linear -------------------------------------
+    # Complex dtypes cannot cross the host->device boundary on all
+    # transports (CLAUDE.md): ship real/imag planes, form complex on device.
+    xp = jax.device_put(np.stack([x.real, x.imag], -1))
+    yp = jax.device_put(np.stack([y.real, y.imag], -1))
+    jax.block_until_ready(xp)
     variants = []
     outs = {}
     for mode in ("circular", "linear"):
         filt = WienerHopfFilter(proc["clutter"]["delayMin"],
                                 proc["clutter"]["delayMax"], n, mode=mode)
-        run = jax.jit(filt.__call__)
-        yf, ok = run(jnp.asarray(x), jnp.asarray(y))
+        run = jax.jit(lambda a, b, f=filt: f(
+            jax.lax.complex(a[:, 0], a[:, 1]),
+            jax.lax.complex(b[:, 0], b[:, 1])))
+        yf, ok = run(xp, yp)
         np.asarray(ok)
         outs[mode] = np.asarray(yf)
-        wall = _best_ms(lambda: np.asarray(run(jnp.asarray(x),
-                                               jnp.asarray(y))[1]), reps)
+        wall = _best_ms(lambda: np.asarray(run(xp, yp)[1]), reps)
         variants.append({"name": mode, "wall_ms": round(wall, 2)})
     denom = float(np.linalg.norm(outs["circular"])) or 1.0
     results.append({
@@ -162,14 +168,13 @@ def main(argv=None) -> None:
     nfft_ham = next_hamming(2 * n_corr - 1)
     nfft_tpu = next_tpu_fft_size(nfft_ham)
     rng = np.random.default_rng(1)
-    pulses = (rng.standard_normal((n_batch, n_corr))
-              + 1j * rng.standard_normal((n_batch, n_corr))).astype(
-                  np.complex64)
-    pd = jax.device_put(pulses)
+    pulses = rng.standard_normal((n_batch, n_corr, 2)).astype(np.float32)
+    pd = jax.device_put(pulses)  # planes: complex formed on device
     jax.block_until_ready(pd)
     variants = []
     for name, size in (("hamming", nfft_ham), ("tpu_fast", nfft_tpu)):
-        run = jax.jit(lambda a, s=size: jnp.fft.fft(a, n=s, axis=-1))
+        run = jax.jit(lambda a, s=size: jnp.fft.fft(
+            jax.lax.complex(a[..., 0], a[..., 1]), n=s, axis=-1))
         np.asarray(run(pd)[0, 0])
         wall = _best_ms(lambda: np.asarray(run(pd)[0, 0]), reps)
         variants.append({"name": name, "nfft": int(size),
