@@ -119,12 +119,18 @@ def main(argv=None) -> None:
     for mode in ("circular", "linear"):
         filt = WienerHopfFilter(proc["clutter"]["delayMin"],
                                 proc["clutter"]["delayMax"], n, mode=mode)
-        run = jax.jit(lambda a, b, f=filt: f(
-            jax.lax.complex(a[:, 0], a[:, 1]),
-            jax.lax.complex(b[:, 0], b[:, 1])))
+
+        def _run(a, b, f=filt):
+            yf, ok = f(jax.lax.complex(a[:, 0], a[:, 1]),
+                       jax.lax.complex(b[:, 0], b[:, 1]))
+            # return planes: complex doesn't cross device->host either
+            return jnp.stack([jnp.real(yf), jnp.imag(yf)], -1), ok
+
+        run = jax.jit(_run)
         yf, ok = run(xp, yp)
         np.asarray(ok)
-        outs[mode] = np.asarray(yf)
+        p = np.asarray(yf)
+        outs[mode] = p[:, 0] + 1j * p[:, 1]
         wall = _best_ms(lambda: np.asarray(run(xp, yp)[1]), reps)
         variants.append({"name": mode, "wall_ms": round(wall, 2)})
     denom = float(np.linalg.norm(outs["circular"])) or 1.0
