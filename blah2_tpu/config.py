@@ -44,6 +44,11 @@ class ClutterConfig:
     enable: bool = True
     delay_min: int = -10
     delay_max: int = 400
+    # Extensions over the reference schema (`config/config.yml:29-32`):
+    # canceller selection ("wiener" = reference algorithm, "eca-b", "nlms")
+    # and the ECA-B segment count.
+    filter: str = "wiener"
+    n_batches: int = 8
 
 
 @dataclasses.dataclass
@@ -173,6 +178,8 @@ def config_from_dict(doc: Dict[str, Any]) -> Config:
         enable=bool(clu.get("enable", True)),
         delay_min=int(clu.get("delayMin", -10)),
         delay_max=int(clu.get("delayMax", 400)),
+        filter=str(clu.get("filter", "wiener")),
+        n_batches=int(clu.get("nBatches", 8)),
     )
     det = proc.get("detection", {}) or {}
     cfg.process.detection = DetectionConfig(

@@ -75,14 +75,13 @@ class CpiPipeline:
         )
         self.clutter: Optional[WienerHopfFilter] = None
         if proc.clutter.enable:
-            self.clutter = WienerHopfFilter(
-                proc.clutter.delay_min,
-                proc.clutter.delay_max,
-                n,
-                diag_load=diag_load,
-                dtype=dtype,
-                mode=clutter_mode,
-            )
+            # Canceller selection via config (wiener | eca-b | nlms);
+            # "wiener" is the reference algorithm (`WienerHopf.cpp`).
+            from blah2_tpu.dsp.clutter_eca import make_clutter_filter
+
+            self.clutter = make_clutter_filter(
+                proc.clutter, n, dtype=dtype, mode=clutter_mode,
+                diag_load=diag_load)
         # Spectrum bandwidth is hardcoded to 2 kHz in the reference
         # (`src/blah2.cpp:198`); fc is plumbed from config (SURVEY §2.1 fix).
         self.spectrum = SpectrumAnalyser(n, spectrum_bandwidth, cap.fc, dtype=dtype)
