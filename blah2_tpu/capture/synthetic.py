@@ -59,7 +59,16 @@ def synthetic_cpi(
 
 
 class SyntheticSource(Source):
-    """Streaming capture source that emits synthetic CPIs continuously."""
+    """Streaming capture source that emits a *phase-continuous* synthetic
+    sample stream in blocks.
+
+    Continuity matters: the consumer assembles CPI windows from arbitrary
+    contiguous runs of the stream (ring overflow, overlap, chunked ingest
+    all shift the alignment), so target Doppler phase must advance with the
+    global sample index and delayed target copies must draw on the previous
+    block's reference tail — otherwise any CPI straddling a block boundary
+    sees decohered targets (a round-1 bug that surfaced as order-dependent
+    runtime-test failures)."""
 
     def __init__(
         self,
@@ -79,18 +88,47 @@ class SyntheticSource(Source):
         self.block_samples = int(block_samples)
         self._seed = seed
         self._block_idx = 0
+        self._offset = 0  # global sample index of the next block's start
+        # Reference-channel history for delayed target copies (positive
+        # delays only; negative delays would need lookahead).
+        self._max_delay = max(
+            (int(t.delay_bins) for t in self.targets if t.delay_bins > 0),
+            default=0)
+        self._x_hist = np.zeros(self._max_delay, dtype=np.complex128)
+
+    def next_block(self):
+        """Generate the next contiguous (x, y) block of the stream."""
+        n, fs, md = self.block_samples, self.fs, self._max_delay
+        rng = np.random.default_rng(self._seed + self._block_idx)
+        self._block_idx += 1
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) \
+            / np.sqrt(2)
+        xh = np.concatenate([self._x_hist, x])
+        t = (self._offset + np.arange(n, dtype=np.float64)) / fs
+        y = np.zeros(n, dtype=np.complex128)
+        for tgt in self.targets:
+            d = int(tgt.delay_bins)
+            if d >= 0:
+                delayed = xh[md - d:md - d + n]
+            else:  # within-block only: future samples are not available
+                delayed = np.zeros_like(x)
+                delayed[:d] = x[-d:]
+            y += tgt.amplitude * delayed * np.exp(
+                2j * np.pi * tgt.doppler_hz * t)
+        if self.clutter_amplitude:
+            y += self.clutter_amplitude * x
+        if self.noise_amplitude:
+            y += self.noise_amplitude * (
+                rng.standard_normal(n) + 1j * rng.standard_normal(n)
+            ) / np.sqrt(2)
+        if md:
+            self._x_hist = xh[-md:]
+        self._offset += n
+        return x, y
 
     def process(self, buffer1, buffer2) -> None:
         while not self.stopped:
-            x, y = synthetic_cpi(
-                self.block_samples,
-                self.fs,
-                self.targets,
-                self.clutter_amplitude,
-                self.noise_amplitude,
-                seed=self._seed + self._block_idx,
-            )
-            self._block_idx += 1
+            x, y = self.next_block()
             self.record(x, y)
             buffer1.push(x.astype(np.complex64))
             buffer2.push(y.astype(np.complex64))

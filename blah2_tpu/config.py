@@ -45,10 +45,11 @@ class ClutterConfig:
     delay_min: int = -10
     delay_max: int = 400
     # Extensions over the reference schema (`config/config.yml:29-32`):
-    # canceller selection ("wiener" = reference algorithm, "eca-b", "nlms")
-    # and the ECA-B segment count.
+    # canceller selection ("wiener" = reference algorithm, "eca-b", "nlms"),
+    # the ECA-B segment count, and the NLMS adaptation step size.
     filter: str = "wiener"
     n_batches: int = 8
+    mu: float = 0.1
 
 
 @dataclasses.dataclass
@@ -180,6 +181,7 @@ def config_from_dict(doc: Dict[str, Any]) -> Config:
         delay_max=int(clu.get("delayMax", 400)),
         filter=str(clu.get("filter", "wiener")),
         n_batches=int(clu.get("nBatches", 8)),
+        mu=float(clu.get("mu", 0.1)),
     )
     det = proc.get("detection", {}) or {}
     cfg.process.detection = DetectionConfig(

@@ -35,7 +35,58 @@ def _residual_db(y_before, y_after, cut=64):
     return 10 * np.log10(before / after)
 
 
-def test_ecab_single_batch_matches_wiener_linear():
+def _exact_ls_oracle(x, y, delay_min, delay_max, n_batches):
+    """Per-segment exact covariance-method LS in plain NumPy: the oracle
+    EcaBFilter must match (x_shift = 0 outside the CPI)."""
+    n = len(x)
+    nb = delay_max - delay_min
+    xs = np.asarray(_shift_np(x, delay_min))
+    L = -(-n // n_batches)
+    pad = n_batches * L - n
+    xs_p = np.pad(xs, (0, pad))
+    y_p = np.pad(np.asarray(y), (0, pad))
+    out = y_p.copy()
+    for s in range(n_batches):
+        t0 = s * L
+        t = np.arange(t0, t0 + L)
+        cols = []
+        for k in range(nb):
+            idx = t - k
+            cols.append(np.where(idx >= 0, xs_p[np.clip(idx, 0, None)], 0))
+        X = np.stack(cols, axis=1)
+        w, *_ = np.linalg.lstsq(X, y_p[t], rcond=None)
+        out[t] = y_p[t] - X @ w
+    return out[:n]
+
+
+def _shift_np(x, s):
+    out = np.zeros_like(np.asarray(x))
+    if s > 0:
+        out[s:] = x[:-s]
+    elif s < 0:
+        out[:s] = x[-s:]
+    else:
+        out[:] = x
+    return out
+
+
+@pytest.mark.parametrize("n_batches", [1, 4])
+def test_ecab_matches_exact_ls_oracle(n_batches):
+    n, fs = 4_000, 10_000
+    x, y = synthetic_cpi(n, fs, [], clutter_amplitude=3.0,
+                         noise_amplitude=1e-3, seed=9)
+    eca = EcaBFilter(-3, 12, n, n_batches=n_batches, diag_load=0.0,
+                     dtype=jnp.complex128)
+    y_e, ok = eca(jnp.asarray(x), jnp.asarray(y))
+    assert bool(ok)
+    oracle = _exact_ls_oracle(x, y, -3, 12, n_batches)
+    np.testing.assert_allclose(np.asarray(y_e), oracle, rtol=0, atol=1e-8)
+
+
+def test_ecab_single_batch_close_to_wiener_linear():
+    """B=1 solves the same normal equations as the Wiener 'linear' mode up
+    to O(nb/n) windowing (covariance vs autocorrelation method), so the
+    two cancellers agree on the achieved suppression."""
     n, fs = 4_000, 10_000
     x, y = synthetic_cpi(n, fs, [], clutter_amplitude=3.0,
                          noise_amplitude=1e-3, seed=9)
@@ -45,25 +96,40 @@ def test_ecab_single_batch_matches_wiener_linear():
     y_w, ok_w = wiener(jnp.asarray(x), jnp.asarray(y))
     y_e, ok_e = eca1(jnp.asarray(x), jnp.asarray(y))
     assert bool(ok_w) and bool(ok_e)
-    np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_w),
-                               rtol=0, atol=1e-8)
+    supp_w = _residual_db(y, y_w)
+    supp_e = _residual_db(y, y_e)
+    assert abs(supp_w - supp_e) < 1.0
+    assert supp_e > 25.0
 
 
 def test_ecab_tracks_time_varying_clutter():
+    # Piecewise-constant weights track the drifting gain only as segments
+    # shrink: the *exact* per-segment LS ceiling on this scene is ~19.7 dB
+    # at B=16 and ~31.8 dB at B=64 (measured with np.linalg.lstsq), so the
+    # assertion below exercises both the B-scaling and that the
+    # implementation sits at the exact-LS ceiling rather than the 10-25 dB
+    # lower Toeplitz-approximation plateau.
     n, fs = 16_384, 10_000
     x, y = _ramp_clutter_scene(n, fs)
     wiener = WienerHopfFilter(-2, 14, n, dtype=jnp.complex128, mode="linear")
-    eca = EcaBFilter(-2, 14, n, n_batches=16, dtype=jnp.complex128,
-                     diag_load=1e-6)
     y_w, _ = wiener(jnp.asarray(x), jnp.asarray(y))
-    y_e, ok = eca(jnp.asarray(x), jnp.asarray(y))
-    assert bool(ok)
     supp_w = _residual_db(y, y_w)
-    supp_e = _residual_db(y, y_e)
-    # The segmented canceller beats the full-CPI one by a wide margin on
-    # drifting clutter.
-    assert supp_e > supp_w + 10.0
-    assert supp_e > 30.0
+
+    eca16 = EcaBFilter(-2, 14, n, n_batches=16, dtype=jnp.complex128,
+                       diag_load=1e-6)
+    y_16, ok16 = eca16(jnp.asarray(x), jnp.asarray(y))
+    assert bool(ok16)
+    supp_16 = _residual_db(y, y_16)
+    assert supp_16 > supp_w + 10.0
+    assert supp_16 > 18.0
+
+    eca64 = EcaBFilter(-2, 14, n, n_batches=64, dtype=jnp.complex128,
+                       diag_load=1e-6)
+    y_64, ok64 = eca64(jnp.asarray(x), jnp.asarray(y))
+    assert bool(ok64)
+    supp_64 = _residual_db(y, y_64)
+    assert supp_64 > supp_16 + 8.0
+    assert supp_64 > 30.0
 
 
 def test_nlms_converges_on_stationary_clutter():
