@@ -1,41 +1,48 @@
 """SDR capture drivers: RspDuo, Usrp, HackRF, Kraken.
 
 Host-side feeder equivalents of the reference's vendor drivers
-(`src/capture/{rspduo,usrp,hackrf,kraken}`), with full configuration and
-validation parity. Each driver:
+(`src/capture/{rspduo,usrp,hackrf,kraken}`), with full configuration,
+validation, and **streaming** parity. Each driver:
 
   * carries the reference's device parameters, derived settings, and
     validation rules (value sets, ranges, gain tables);
-  * binds to the vendor runtime library lazily via ctypes at ``start()``
-    (sdrplay_api / UHD / libhackrf / librtlsdr); on hosts without the
-    vendor stack — such as a TPU pod — it raises a clear error and the
-    replay/synthetic paths remain available (`Capture.cpp:56-64`).
+  * binds the vendor runtime via the ctypes bindings in
+    :mod:`blah2_tpu.capture.vendor` (sdrplay_api / UHD C API / libhackrf /
+    librtlsdr) and streams ADC blocks into the IQ ring buffers from the
+    vendor callback threads. The library handle is injectable
+    (``lib=`` / ``vendor.register_fake_library``) so CI drives the full
+    callback→ring→pipeline path with a fake runtime and no hardware.
 
-The streaming callback architecture of the reference (vendor thread →
-ring buffer push, `RspDuo.cpp:450-552`) is preserved in shape: drivers
-implement ``process(buffer1, buffer2)`` feeding the same ring buffers as
-replay and synthetic sources.
+TPU-first divergences from the reference (documented, intentional):
+  * callbacks push vectorized NumPy blocks into the drop-oldest ring —
+    not per-sample deque pushes under a mutex (`RspDuo.cpp:511-520`,
+    `HackRf.cpp:115-125`); the rings' drop counters take over the
+    overflow/desync accounting;
+  * recordings use the universal int16-quad format of
+    :meth:`Source.record` for every device so any recording replays
+    everywhere (the reference writes per-device formats:
+    `Usrp.cpp:96-104` float32 pairs, `RspDuo.cpp:523-535` short quads);
+  * a failed vendor call raises (``SdrplayError``/``UhdError``/…) instead
+    of ``exit(1)`` (`RspDuo.cpp:118-126`) so the capture orchestrator can
+    fall back or retry.
 """
 
 from __future__ import annotations
 
-import ctypes
-import ctypes.util
+import ctypes as C
+import threading
+import time
+from collections import deque
 from typing import List, Optional, Sequence
 
+import numpy as np
+
 from blah2_tpu.capture.source import Source
+from blah2_tpu.capture.vendor import VendorLibraryUnavailable
 
-
-def _find_lib(*names: str) -> Optional[str]:
-    for name in names:
-        path = ctypes.util.find_library(name)
-        if path:
-            return path
-    return None
-
-
-class DriverUnavailable(RuntimeError):
-    """Vendor runtime library is not present on this host."""
+# Back-compat alias: the round-1 API named the no-vendor-runtime error
+# DriverUnavailable.
+DriverUnavailable = VendorLibraryUnavailable
 
 
 class RspDuoSource(Source):
@@ -44,6 +51,9 @@ class RspDuoSource(Source):
     Derived settings and validation mirror `RspDuo.cpp:53-79,364-448`:
     sample rate selects decimation / IF bandwidth / IF mode from fixed
     tables; AGC, gain-reduction and LNA parameters are range-checked.
+    Streaming follows the dual-callback protocol of
+    `RspDuo.cpp:106-148,450-552`: the tuner-A callback stashes its block,
+    the tuner-B callback completes the pair and pushes both channels.
     """
 
     #: fs → decimation (`RspDuo.cpp:53-60`); the RSPduo master clock runs
@@ -66,7 +76,8 @@ class RspDuoSource(Source):
                  agc_set_point: int = -60, bandwidth_number: int = 0,
                  gain_reduction: Sequence[int] = (40, 40),
                  lna_state: int = 4, dab_notch: bool = False,
-                 rf_notch: bool = False, path: Optional[str] = None):
+                 rf_notch: bool = False, usb_bulk: bool = False,
+                 path: Optional[str] = None, lib=None):
         super().__init__("RspDuo", fs, fc, path)
         self.agc_set_point = int(agc_set_point)
         self.bandwidth_number = int(bandwidth_number)
@@ -74,6 +85,8 @@ class RspDuoSource(Source):
         self.lna_state = int(lna_state)
         self.dab_notch = bool(dab_notch)
         self.rf_notch = bool(rf_notch)
+        self.usb_bulk = bool(usb_bulk)
+        self._lib = lib
 
         fs_i = int(fs)
         if fs_i not in self.DECIMATION:
@@ -84,6 +97,18 @@ class RspDuoSource(Source):
         self.if_bandwidth_khz = self.IF_BANDWIDTH_KHZ[fs_i]
         self.if_mode_khz = self.IF_MODE_KHZ
         self.validate()
+
+        self._api = None
+        self._device = None
+        self._cbfns = None
+        self._pending_a: deque = deque()
+        self._buffer1 = None
+        self._buffer2 = None
+        #: dropped B-blocks that arrived with no pending A block (desync).
+        self.n_desync = 0
+        #: most recent total system gain reported by the event callback.
+        self.current_gain_db: Optional[float] = None
+        self.overload = False
 
     def validate(self) -> None:
         """Parameter checks of `RspDuo.cpp:364-448`."""
@@ -108,25 +133,122 @@ class RspDuoSource(Source):
             raise ValueError(
                 f"LNA state must be between 1 and {self.MAX_LNA_STATE}")
 
+    # -- protocol (RspDuo.cpp:93-148) ------------------------------------------
     def start(self) -> None:
+        """Open the API, select the RSPduo in dual-tuner mode, write the
+        device parameter tree (`RspDuo.cpp:93-99,243-448`)."""
+        from blah2_tpu.capture.vendor import sdrplay as S
+
         super().start()
-        if _find_lib("sdrplay_api") is None:
-            raise DriverUnavailable(
-                "sdrplay_api runtime not found; RspDuo capture requires the "
-                "SDRplay API service. Use replay mode or Synthetic source.")
+        self._api = S.SdrplayApi(lib=self._lib)
+        self._api.open()
+        self._device = self._api.select_rspduo_dual_tuner()
+        params = self._api.get_device_params(self._device.dev)
+
+        dev = params.devParams.contents
+        dev.mode = S.BULK if self.usb_bulk else S.ISOCH
+
+        cha = params.rxChannelA.contents
+        cha.tunerParams.rfFreq.rfHz = self.fc
+        agc_map = {0: S.AGC_DISABLE, 5: S.AGC_5HZ, 50: S.AGC_50HZ,
+                   100: S.AGC_100HZ}
+        cha.ctrlParams.agc.enable = agc_map[self.bandwidth_number]
+        if cha.ctrlParams.agc.enable != S.AGC_DISABLE:
+            cha.ctrlParams.agc.setPoint_dBfs = min(0, self.agc_set_point)
+        cha.ctrlParams.decimation.enable = 1
+        cha.ctrlParams.decimation.decimationFactor = self.n_decimation
+        cha.tunerParams.ifType = S.IF_1620
+        cha.tunerParams.bwType = self.if_bandwidth_khz
+        cha.rspDuoTunerParams.rfNotchEnable = int(self.rf_notch)
+        cha.rspDuoTunerParams.rfDabNotchEnable = int(self.dab_notch)
+
+        chb = params.rxChannelB.contents
+        cha.tunerParams.gain.gRdB = self.gain_reduction[0]
+        cha.tunerParams.gain.LNAstate = self.lna_state
+        chb.tunerParams.gain.gRdB = self.gain_reduction[1]
+        chb.tunerParams.gain.LNAstate = self.lna_state
+        self._params = params
+
+    def _stream_a(self, xi, xq, params, num_samples, reset, ctx) -> None:
+        """Tuner-A callback: stash the block (`RspDuo.cpp:450-491`)."""
+        n = int(num_samples)
+        if n <= 0:
+            return
+        i = np.ctypeslib.as_array(xi, (n,)).copy()
+        q = np.ctypeslib.as_array(xq, (n,)).copy()
+        self._pending_a.append((i, q))
+
+    def _stream_b(self, xi, xq, params, num_samples, reset, ctx) -> None:
+        """Tuner-B callback: pair with the stashed A block, push both
+        channels and record (`RspDuo.cpp:493-552`)."""
+        n = int(num_samples)
+        if n <= 0:
+            return
+        if not self._pending_a:
+            self.n_desync += 1
+            return
+        ai, aq = self._pending_a.popleft()
+        bi = np.ctypeslib.as_array(xi, (n,)).copy()
+        bq = np.ctypeslib.as_array(xq, (n,)).copy()
+        m = min(len(ai), n)
+        ch1 = ai[:m].astype(np.float32) + 1j * aq[:m].astype(np.float32)
+        ch2 = bi[:m].astype(np.float32) + 1j * bq[:m].astype(np.float32)
+        if self._buffer1 is not None:
+            self._buffer1.push(ch1.astype(np.complex64))
+            self._buffer2.push(ch2.astype(np.complex64))
+        self.record(ch1, ch2)
+
+    def _event(self, event_id, tuner, params, ctx) -> None:
+        """Event callback (`RspDuo.cpp:554-588`): track gain changes,
+        acknowledge power overloads, notice device removal."""
+        from blah2_tpu.capture.vendor import sdrplay as S
+
+        if event_id == S.EventGainChange:
+            self.current_gain_db = float(params.contents.gainParams.currGain)
+        elif event_id == S.EventPowerOverloadChange:
+            p = params.contents.powerOverloadParams
+            self.overload = (
+                p.powerOverloadChangeType == S.Overload_Detected)
+            self._api.update(self._device.dev, tuner,
+                             S.Update_Ctrl_OverloadMsgAck)
+        elif event_id == S.EventDeviceRemoved:
+            self.stopped = True
 
     def process(self, buffer1, buffer2) -> None:
-        # Dual-tuner streaming requires the vendor callback chain
-        # (`RspDuo.cpp:450-552`); start() gates on the runtime library.
-        self.start()
-        raise DriverUnavailable("sdrplay_api streaming not implemented on "
-                                "this host")
+        """Init the stream and run the control loop
+        (`RspDuo.cpp:106-148`): callbacks fill the rings from the vendor
+        threads; this thread re-applies gains post-init and idles."""
+        from blah2_tpu.capture.vendor import sdrplay as S
+
+        if self._api is None:
+            self.start()
+        self._buffer1, self._buffer2 = buffer1, buffer2
+        self._cbfns = S.CallbackFnsT(
+            S.StreamCallback(self._stream_a),
+            S.StreamCallback(self._stream_b),
+            S.EventCallback(self._event))
+        self._api.init(self._device.dev, self._cbfns)
+        try:
+            # Gains are re-applied after init (`RspDuo.cpp:112-134`).
+            self._params.rxChannelA.contents.tunerParams.gain.gRdB = \
+                self.gain_reduction[0]
+            self._params.rxChannelB.contents.tunerParams.gain.gRdB = \
+                self.gain_reduction[1]
+            self._api.update(self._device.dev, S.Tuner_A, S.Update_Tuner_Gr)
+            self._api.update(self._device.dev, S.Tuner_B, S.Update_Tuner_Gr)
+            while not self.stopped:
+                time.sleep(0.01)
+        finally:
+            self._api.uninit(self._device.dev)
+            self._api.release(self._device)
+            self._api.close()
 
 
 class UsrpSource(Source):
     """Ettus USRP 2-channel streamer (`src/capture/usrp/Usrp.cpp:30-105`):
     subdev/antenna/gain configuration, fc32 host format, timed continuous
-    stream start (+50 ms) so both channels are sample-aligned."""
+    stream start (+50 ms) so both channels are sample-aligned. Bound via
+    the UHD C API (the C++ `multi_usrp` ABI is not ctypes-callable)."""
 
     STREAM_START_DELAY_S = 0.05
     HOST_FORMAT = "fc32"
@@ -136,33 +258,117 @@ class UsrpSource(Source):
                  subdev: str = "A:A A:B",
                  antenna: Sequence[str] = ("RX2", "RX2"),
                  gain: Sequence[float] = (20.0, 20.0),
-                 path: Optional[str] = None):
+                 path: Optional[str] = None, lib=None):
         super().__init__("Usrp", fs, fc, path)
         self.address = address
         self.subdev = subdev
         self.antenna = list(antenna)
         self.gain = [float(g) for g in gain]
+        self._lib = lib
         if len(self.antenna) != 2:
             raise ValueError("Usrp needs exactly 2 antenna entries")
         if len(self.gain) != 2:
             raise ValueError("Usrp needs exactly 2 gain entries")
 
-    def start(self) -> None:
-        super().start()
-        if _find_lib("uhd") is None:
-            raise DriverUnavailable(
-                "UHD runtime not found; Usrp capture requires UHD >= 4.8. "
-                "Use replay mode or Synthetic source.")
-
     def process(self, buffer1, buffer2) -> None:
-        self.start()
-        raise DriverUnavailable("UHD streaming not implemented on this host")
+        """Configure and run the recv loop (`Usrp.cpp:30-105`)."""
+        from blah2_tpu.capture.vendor import uhd as U
+
+        api = U.UhdApi(lib=self._lib)
+        lib = api.lib
+
+        usrp = C.c_void_p()
+        api.check(lib.uhd_usrp_make(
+            C.byref(usrp), f"addr={self.address}".encode()), "make usrp")
+
+        spec = C.c_void_p()
+        api.check(lib.uhd_subdev_spec_make(
+            C.byref(spec), self.subdev.encode()), "make subdev spec")
+        api.check(lib.uhd_usrp_set_rx_subdev_spec(usrp, spec, 0),
+                  "set subdev spec")
+        for ch in (0, 1):
+            api.check(lib.uhd_usrp_set_rx_antenna(
+                usrp, self.antenna[ch].encode(), ch), "set antenna")
+        api.check(lib.uhd_usrp_set_rx_rate(usrp, self.fs, 0),
+                  "set rate ch0")
+        api.check(lib.uhd_usrp_set_rx_rate(usrp, self.fs, 1),
+                  "set rate ch1")
+        for ch in (0, 1):
+            req = U.TuneRequestT(
+                target_freq=self.fc,
+                rf_freq_policy=U.TUNE_REQUEST_POLICY_AUTO,
+                dsp_freq_policy=U.TUNE_REQUEST_POLICY_AUTO)
+            res = U.TuneResultT()
+            api.check(lib.uhd_usrp_set_rx_freq(
+                usrp, C.byref(req), ch, C.byref(res)), "set freq")
+            api.check(lib.uhd_usrp_set_rx_gain(
+                usrp, self.gain[ch], ch, b""), "set gain")
+
+        streamer = C.c_void_p()
+        api.check(lib.uhd_rx_streamer_make(C.byref(streamer)),
+                  "make rx streamer")
+        channels = (C.c_size_t * 2)(0, 1)
+        args = U.StreamArgsT(
+            cpu_format=self.HOST_FORMAT.encode(),
+            otw_format=self.WIRE_FORMAT.encode(),
+            args=b"", channel_list=channels, n_channels=2)
+        api.check(lib.uhd_usrp_get_rx_stream(
+            usrp, C.byref(args), streamer), "get rx stream")
+
+        max_samps = C.c_size_t(0)
+        api.check(lib.uhd_rx_streamer_max_num_samps(
+            streamer, C.byref(max_samps)), "max_num_samps")
+        samps = int(max_samps.value) or 4096
+
+        # Timed start +50 ms aligns both channels (`Usrp.cpp:71-73`).
+        full = C.c_int64(0)
+        frac = C.c_double(0.0)
+        api.check(lib.uhd_usrp_get_time_now(
+            usrp, 0, C.byref(full), C.byref(frac)), "get_time_now")
+        t = full.value + frac.value + self.STREAM_START_DELAY_S
+        cmd = U.StreamCmdT(
+            stream_mode=U.STREAM_MODE_START_CONTINUOUS,
+            num_samps=0, stream_now=False,
+            time_spec_full_secs=int(t), time_spec_frac_secs=t - int(t))
+        api.check(lib.uhd_rx_streamer_issue_stream_cmd(
+            streamer, C.byref(cmd)), "issue stream cmd")
+
+        meta = C.c_void_p()
+        api.check(lib.uhd_rx_metadata_make(C.byref(meta)), "make metadata")
+
+        buf1 = np.empty(samps, dtype=np.complex64)
+        buf2 = np.empty(samps, dtype=np.complex64)
+        ptrs = (C.c_void_p * 2)(
+            buf1.ctypes.data_as(C.c_void_p).value,
+            buf2.ctypes.data_as(C.c_void_p).value)
+        received = C.c_size_t(0)
+        try:
+            while not self.stopped:
+                api.check(lib.uhd_rx_streamer_recv(
+                    streamer, ptrs, samps, C.byref(meta), 3.0, False,
+                    C.byref(received)), "recv")
+                ec = C.c_int(0)
+                lib.uhd_rx_metadata_error_code(meta, C.byref(ec))
+                if ec.value != U.RX_METADATA_ERROR_NONE:
+                    print(f"[Usrp] recv error code {ec.value}", flush=True)
+                n = int(received.value)
+                if n <= 0:
+                    continue
+                buffer1.push(buf1[:n].copy())
+                buffer2.push(buf2[:n].copy())
+                self.record(buf1[:n], buf2[:n])
+        finally:
+            stop = U.StreamCmdT(stream_mode=U.STREAM_MODE_STOP_CONTINUOUS,
+                                stream_now=True)
+            lib.uhd_rx_streamer_issue_stream_cmd(streamer, C.byref(stop))
+            lib.uhd_usrp_free(C.byref(usrp))
 
 
 class HackRfSource(Source):
     """2× HackRF with shared clock + hardware sync trigger
     (`src/capture/hackrf/HackRf.cpp`, `README.md`): the surveillance unit
-    is configured first with hw-sync + CLKOUT; both stream 8-bit IQ."""
+    is configured first with hw-sync + CLKOUT; both stream 8-bit IQ via
+    `rx_callback`."""
 
     VALID_LNA_GAIN = tuple(range(0, 41, 8))   # {0,8,...,40} dB
     VALID_VGA_GAIN = tuple(range(0, 63, 2))   # {0,2,...,62} dB
@@ -172,12 +378,13 @@ class HackRfSource(Source):
                  gain_lna: Sequence[int] = (32, 32),
                  gain_vga: Sequence[int] = (30, 30),
                  amp_enable: Sequence[bool] = (False, False),
-                 path: Optional[str] = None):
+                 path: Optional[str] = None, lib=None):
         super().__init__("HackRF", fs, fc, path)
         self.serial = list(serial)
         self.gain_lna = [int(g) for g in gain_lna]
         self.gain_vga = [int(g) for g in gain_vga]
         self.amp_enable = [bool(a) for a in amp_enable]
+        self._lib = lib
         for g in self.gain_lna:
             if g not in self.VALID_LNA_GAIN:
                 raise ValueError(
@@ -188,31 +395,112 @@ class HackRfSource(Source):
                     f"Invalid VGA gain {g}; valid: {self.VALID_VGA_GAIN}")
         if len(self.serial) != 2:
             raise ValueError("HackRF needs exactly 2 serial numbers")
+        self._api = None
+        self._dev = [C.c_void_p(), C.c_void_p()]
+        self._callbacks = []
+
+    def _setup_device(self, idx: int) -> None:
+        """Open + configure one unit (`HackRf.cpp:63-96`). The
+        surveillance unit (idx 1) additionally enables hw-sync + CLKOUT."""
+        api, lib = self._api, self._api.lib
+        api.check(lib.hackrf_open_by_serial(
+            self.serial[idx].encode(), C.byref(self._dev[idx])),
+            "Failed to open device.")
+        d = self._dev[idx]
+        api.check(lib.hackrf_set_freq(d, int(self.fc)),
+                  "Failed to set frequency.")
+        api.check(lib.hackrf_set_sample_rate(d, float(self.fs)),
+                  "Failed to set sample rate.")
+        api.check(lib.hackrf_set_amp_enable(
+            d, 1 if self.amp_enable[idx] else 0), "Failed to set AMP status.")
+        api.check(lib.hackrf_set_lna_gain(d, self.gain_lna[idx]),
+                  "Failed to set LNA gain.")
+        api.check(lib.hackrf_set_vga_gain(d, self.gain_vga[idx]),
+                  "Failed to set VGA gain.")
+        if idx == 1:
+            api.check(lib.hackrf_set_hw_sync_mode(d, 1),
+                      "Failed to enable hardware synchronising.")
+            api.check(lib.hackrf_set_clkout_enable(d, 1),
+                      "Failed to set CLKOUT on surveillance device")
 
     def start(self) -> None:
+        from blah2_tpu.capture.vendor import hackrf as H
+
         super().start()
-        if _find_lib("hackrf") is None:
-            raise DriverUnavailable(
-                "libhackrf not found; HackRF capture requires 2 devices "
-                "with shared clock. Use replay mode or Synthetic source.")
+        self._api = H.HackrfApi(lib=self._lib)
+        lib = self._api.lib
+        self._api.check(lib.hackrf_init(), "Failed to initialise HackRF")
+        dl = lib.hackrf_device_list()
+        count = dl.contents.devicecount if dl else 0
+        if count < 2:
+            raise H.HackrfError("Failed to find 2 HackRF devices.")
+        # Surveillance first: its CLKOUT clocks the reference unit
+        # (`HackRf.cpp:64-96`).
+        self._setup_device(1)
+        self._setup_device(0)
+
+    def _make_callback(self, ring):
+        """Per-channel rx callback: int8 interleaved IQ → complex block
+        (`HackRf.cpp:107-133`, vectorized). Uses valid_length (the filled
+        size) where the reference reads buffer_length — intentional."""
+        from blah2_tpu.capture.vendor import hackrf as H
+
+        def cb(transfer_ptr):
+            tr = transfer_ptr.contents
+            n = int(tr.valid_length)
+            if n < 2:
+                return 0
+            raw = np.ctypeslib.as_array(tr.buffer, (n,))
+            block = (raw[0::2].astype(np.float32)
+                     + 1j * raw[1::2].astype(np.float32))
+            ring.push(block.astype(np.complex64))
+            return 0
+
+        fn = H.RxCallback(cb)
+        self._callbacks.append(fn)  # keep alive for the C side
+        return fn
 
     def process(self, buffer1, buffer2) -> None:
-        self.start()
-        raise DriverUnavailable("libhackrf streaming not implemented on "
-                                "this host")
+        """Start both RX streams, then idle until stopped
+        (`HackRf.cpp:107-113`)."""
+        if self._api is None:
+            self.start()
+        lib = self._api.lib
+        self._api.check(lib.hackrf_start_rx(
+            self._dev[1], self._make_callback(buffer2), None),
+            "Failed to start RX streaming.")
+        self._api.check(lib.hackrf_start_rx(
+            self._dev[0], self._make_callback(buffer1), None),
+            "Failed to start RX streaming.")
+        try:
+            while not self.stopped:
+                time.sleep(0.01)
+        finally:
+            lib.hackrf_stop_rx(self._dev[0])
+            lib.hackrf_stop_rx(self._dev[1])
+            lib.hackrf_close(self._dev[0])
+            lib.hackrf_close(self._dev[1])
+            lib.hackrf_exit()
 
 
 class KrakenSource(Source):
     """KrakenSDR 5-tuner rtlsdr array, 2 channels used
     (`src/capture/kraken/Kraken.cpp`): per-channel dithering and AGC are
-    disabled; requested gains round UP to the tuner's valid gain list."""
+    disabled; requested gains round UP to the tuner's valid gain list;
+    two `rtlsdr_read_async` reader threads feed the rings."""
+
+    READ_ASYNC_BUF_LEN = 16 * 16384  # `Kraken.cpp:89-90`
 
     def __init__(self, fs: float, fc: float,
                  gain: Sequence[float] = (15.0, 15.0),
-                 path: Optional[str] = None):
+                 path: Optional[str] = None, lib=None):
         super().__init__("Kraken", fs, fc, path)
         self.requested_gain = [float(g) for g in gain]
         self.gain: List[int] = []
+        self._lib = lib
+        self._api = None
+        self._devs = [C.c_void_p(), C.c_void_p()]
+        self._callbacks = []
 
     @staticmethod
     def round_gains(requested_db: Sequence[float],
@@ -228,16 +516,84 @@ class KrakenSource(Source):
         return out
 
     def start(self) -> None:
+        """Enumerate valid gains (device 0), then open + configure both
+        channels (`Kraken.cpp:20-74`)."""
+        from blah2_tpu.capture.vendor import rtlsdr as R
+
         super().start()
-        if _find_lib("rtlsdr") is None:
-            raise DriverUnavailable(
-                "librtlsdr (krakenrf fork) not found. Use replay mode or "
-                "Synthetic source.")
+        self._api = R.RtlsdrApi(lib=self._lib)
+        lib = self._api.lib
+
+        probe = C.c_void_p()
+        self._api.check(lib.rtlsdr_open(C.byref(probe), 0),
+                        "Failed to open device for available gains.")
+        valid = self._api.tuner_gains(probe)
+        self._api.check(lib.rtlsdr_close(probe),
+                        "Failed to close device for available gains.")
+        self.gain = self.round_gains(self.requested_gain, valid)
+
+        for i in range(2):
+            self._api.check(lib.rtlsdr_open(C.byref(self._devs[i]), i),
+                            "Failed to open device.")
+            d = self._devs[i]
+            self._api.check(lib.rtlsdr_set_center_freq(d, int(self.fc)),
+                            "Failed to set center frequency.")
+            self._api.check(lib.rtlsdr_set_sample_rate(d, int(self.fs)),
+                            "Failed to set sample rate.")
+            self._api.check(lib.rtlsdr_set_dithering(d, 0),
+                            "Failed to disable dithering.")
+            self._api.check(lib.rtlsdr_set_tuner_gain_mode(d, 1),
+                            "Failed to disable AGC.")
+            self._api.check(lib.rtlsdr_set_tuner_gain(d, self.gain[i]),
+                            "Failed to set gain.")
+            self._api.check(lib.rtlsdr_reset_buffer(d),
+                            "Failed to reset buffer.")
+
+    def _make_callback(self, ring):
+        """uint8 interleaved IQ → complex block. The reference casts the
+        raw bytes to int8 (`Kraken.cpp:101-108`), keeping rtlsdr's
+        offset-127 encoding as a DC offset; mirrored here."""
+        from blah2_tpu.capture.vendor import rtlsdr as R
+
+        def cb(buf, length, ctx):
+            n = int(length)
+            if n < 2:
+                return
+            raw = np.ctypeslib.as_array(buf, (n,)).astype(np.int8)
+            block = (raw[0::2].astype(np.float32)
+                     + 1j * raw[1::2].astype(np.float32))
+            ring.push(block.astype(np.complex64))
+
+        fn = R.ReadAsyncCallback(cb)
+        self._callbacks.append(fn)
+        return fn
 
     def process(self, buffer1, buffer2) -> None:
-        self.start()
-        raise DriverUnavailable("rtlsdr streaming not implemented on this "
-                                "host")
+        """Two blocking `rtlsdr_read_async` reader threads
+        (`Kraken.cpp:86-99`); a watchdog cancels them on stop."""
+        if self._api is None:
+            self.start()
+        lib = self._api.lib
+        threads = []
+        for dev, ring in ((self._devs[0], buffer1),
+                          (self._devs[1], buffer2)):
+            cb = self._make_callback(ring)
+            t = threading.Thread(
+                target=lib.rtlsdr_read_async,
+                args=(dev, cb, None, 0, self.READ_ASYNC_BUF_LEN),
+                daemon=True)
+            t.start()
+            threads.append(t)
+        try:
+            while not self.stopped and any(t.is_alive() for t in threads):
+                time.sleep(0.01)
+        finally:
+            for dev in self._devs:
+                lib.rtlsdr_cancel_async(dev)
+            for t in threads:
+                t.join(timeout=2.0)
+            for dev in self._devs:
+                lib.rtlsdr_close(dev)
 
 
 def make_hardware_source(device_type: str, fs: float, fc: float,
@@ -252,6 +608,7 @@ def make_hardware_source(device_type: str, fs: float, fc: float,
             lna_state=cfg.get("lnaState", 4),
             dab_notch=cfg.get("dabNotch", False),
             rf_notch=cfg.get("rfNotch", False),
+            usb_bulk=cfg.get("usbBulk", False),
             path=path)
     if device_type == "Usrp":
         return UsrpSource(
