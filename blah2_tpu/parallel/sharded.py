@@ -136,6 +136,18 @@ class ShardedCpiPipeline:
                                          dtype=dtype)
 
         self.clutter_enabled = proc.clutter.enable
+        kind = (getattr(proc.clutter, "filter", "wiener") or "wiener").lower()
+        if self.clutter_enabled and kind not in (
+                "wiener", "wiener-hopf", "wienerhopf"):
+            # The comparison-tier cancellers (eca-b/nlms) are single-chip
+            # only; silently running a different algorithm would be
+            # misleading (ADVICE r1).
+            import warnings
+
+            warnings.warn(
+                f"process.clutter.filter={kind!r} is not supported in mesh "
+                "mode; falling back to the sharded Wiener-Hopf canceller",
+                stacklevel=2)
         if self.clutter_enabled:
             self.nb = proc.clutter.delay_max - proc.clutter.delay_min
             self.clutter_delay_min = proc.clutter.delay_min
@@ -350,6 +362,17 @@ class ShardedCpiPipeline:
         )
 
     # -- public --------------------------------------------------------------
+    def _place(self, arr: np.ndarray) -> jnp.ndarray:
+        """Place a full host array on the mesh. Single-process: one
+        device_put. Multi-process (multi-host): every process holds the
+        same full host array (each host's capture feeds the same global
+        CPI schedule) and contributes only its addressable shards via
+        `make_array_from_callback`."""
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                arr.shape, self._in_sharding, lambda idx: arr[idx])
+        return jax.device_put(arr, self._in_sharding)
+
     def shard_inputs(self, xb, yb) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Pad (B, n_samples) host arrays to n_pad and place on the mesh."""
         xb = np.asarray(xb)
@@ -370,9 +393,7 @@ class ShardedCpiPipeline:
         plane = np.float64 if self.dtype == jnp.complex128 else np.float32
         xp = np.stack([xb.real, xb.imag], axis=-1).astype(plane)
         yp = np.stack([yb.real, yb.imag], axis=-1).astype(plane)
-        xj = jax.device_put(xp, self._in_sharding)
-        yj = jax.device_put(yp, self._in_sharding)
-        return xj, yj
+        return self._place(xp), self._place(yp)
 
     def __call__(self, xb, yb) -> CpiOutputs:
         return self._fn(xb, yb)

@@ -53,6 +53,16 @@ def main(argv=None) -> int:
                         choices=("ppermute", "pallas"),
                         help="overlap-save halo exchange backend in mesh "
                              "mode")
+    parser.add_argument("--coordinator", default=None,
+                        help="multi-host: coordinator host:port (or 'auto' "
+                             "for cloud-TPU detection); also via "
+                             "BLAH2_COORDINATOR")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="multi-host: total process count "
+                             "(BLAH2_NUM_PROCESSES)")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="multi-host: this process's rank "
+                             "(BLAH2_PROCESS_ID)")
     parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -61,10 +71,28 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
+    from blah2_tpu.parallel.distributed import maybe_initialize
+
+    distributed = maybe_initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
+    if distributed:
+        import jax
+
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices",
+              flush=True)
+
     from blah2_tpu.config import load_config
     from blah2_tpu.runtime.radar import RadarRuntime
 
     config = load_config(args.config)
+
+    if distributed:
+        import jax
+
+        if jax.process_index() != 0:
+            # One API/egress owner per job: non-zero ranks compute only.
+            args.no_api = True
 
     api_server = None
     if not args.no_api:
