@@ -1,0 +1,136 @@
+"""Benchmark: the PRODUCTION runtime end-to-end, not just the kernel.
+
+bench.py measures the bare CpiPipeline under hand-built double buffering;
+this benchmark runs the real `RadarRuntime` loop — ring buffers → chunked
+streaming ingest → fused device pipeline → tracker → JSON serialization →
+in-process API publish — on the production geometry (fs=2 MHz, tCpi=0.75 s,
+1.5 Msample CPIs, 301×411 map), fed by looped file replay (the reference's
+own replay path, unpaced so the ring never starves).
+
+Scored quantity: steady-state per-CPI processing wall (the timing product's
+`cpi` key: extraction → all products emitted), the reference's real-time
+criterion (`src/blah2.cpp:334-338`: must stay < tCpi·1000 = 750 ms).
+Warmup CPIs (compiles) are excluded; the staged-timing sample CPIs
+(staged_sample_every) stay in the stream — they are part of production
+behavior — but the score is the 25th percentile over the steady window to
+ride out multi-tenant tunnel throttling (see bench.py).
+
+vs_baseline = tCpi·1000 / score (×1.0 = exactly real time; >1 = faster).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/blah2_tpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from __graft_entry__ import _default_config
+    from blah2_tpu.capture.source import Source
+    from blah2_tpu.net.api import ApiServer
+    from blah2_tpu.runtime.radar import RadarRuntime
+
+    cfg = _default_config()
+    cfg.process.tracker.enable = True
+    cfg.process.tracker.m, cfg.process.tracker.n = 3, 5
+    cfg.process.tracker.max_acc = 2.0
+    cfg.process.tracker.n_delete = 8
+    n = cfg.n_samples
+    fs = cfg.capture.fs
+    budget_ms = 1e3 * n / fs
+
+    # Scene file: 2 CPIs of clutter + a moving target, looped by replay.
+    rng = np.random.default_rng(7)
+    tmp = tempfile.mkdtemp(prefix="bench_runtime_")
+    src = Source("RspDuo", fs, cfg.capture.fc, path=tmp)
+    fname = src.open_record_file()
+    for k in range(2):
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+        t = (k * n + np.arange(n)) / fs
+        y = (2.0 * x + 0.1 * np.roll(x, 37) *
+             np.exp(2j * np.pi * 60.0 * t) +
+             1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)))
+        src.record(x * 2000.0, y * 2000.0)
+    src.close_record_file()
+
+    cfg.capture.replay.state = True
+    cfg.capture.replay.loop = True
+    cfg.capture.replay.file = fname
+    cfg.network.api = 18765  # avoid the default port
+
+    api = ApiServer(cfg)
+    api.start(with_ingest=False)
+    rt = RadarRuntime(cfg, api_server=api)
+
+    timings = []
+    orig = rt._emit
+
+    def capture(product, payload):
+        if product == "timing":
+            timings.append(json.loads(payload))
+        return orig(product, payload)
+
+    rt._emit = capture
+
+    n_warm, n_meas = 3, 21
+    rt.start_capture()
+    t0 = time.perf_counter()
+    try:
+        rt.run(n_cpis=n_warm + n_meas, quiet=True)
+    finally:
+        rt.stop()
+        api.stop()
+    wall_total = time.perf_counter() - t0
+
+    steady = timings[n_warm:]
+    cpi_ms = sorted(d["cpi"] for d in steady)
+    score = cpi_ms[len(cpi_ms) // 4]  # p25: dodge co-tenant bursts
+
+    def mean_key(key):
+        vals = [d.get(key, 0.0) for d in steady]
+        return round(float(np.mean(vals)), 2)
+
+    result = {
+        "metric": "runtime_e2e_cpi_wall",
+        "value": round(score, 1),
+        "unit": "ms/CPI",
+        "vs_baseline": round(budget_ms / score, 3),
+        "detail": {
+            "n_samples_per_cpi": n,
+            "realtime_budget_ms": round(budget_ms, 1),
+            "cpi_ms_p25": round(cpi_ms[len(cpi_ms) // 4], 1),
+            "cpi_ms_median": round(cpi_ms[len(cpi_ms) // 2], 1),
+            "cpi_ms_p90": round(cpi_ms[int(len(cpi_ms) * 0.9)], 1),
+            "stage_means_ms": {
+                k: mean_key(k) for k in
+                ("extract_buffer", "spectrum", "clutter_filter",
+                 "ambiguity_processing", "detector", "tracker",
+                 "output_radar_data")},
+            "n_cpis_measured": len(steady),
+            "wall_total_s": round(wall_total, 1),
+            "ingest_chunks": rt.ingest_chunks,
+            "staged_sample_every": rt.staged_sample_every,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,13 @@ class ClutterConfig:
 
 
 @dataclasses.dataclass
+class SpectrumConfig:
+    # The reference hardcodes the analyser bandwidth to 2 kHz
+    # (`src/blah2.cpp:198`); schema extension exposing it.
+    bandwidth: float = 2000.0
+
+
+@dataclasses.dataclass
 class DetectionConfig:
     enable: bool = True
     pfa: float = 1e-5
@@ -87,6 +94,7 @@ class ProcessConfig:
     clutter: ClutterConfig = dataclasses.field(default_factory=ClutterConfig)
     detection: DetectionConfig = dataclasses.field(default_factory=DetectionConfig)
     tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    spectrum: SpectrumConfig = dataclasses.field(default_factory=SpectrumConfig)
 
 
 @dataclasses.dataclass
@@ -192,6 +200,10 @@ def config_from_dict(doc: Dict[str, Any]) -> Config:
         min_delay=int(det.get("minDelay", 5)),
         min_doppler=float(det.get("minDoppler", 15.0)),
         n_centroid=int(det.get("nCentroid", 6)),
+    )
+    spec = proc.get("spectrum", {}) or {}
+    cfg.process.spectrum = SpectrumConfig(
+        bandwidth=float(spec.get("bandwidth", 2000.0)),
     )
     trk = proc.get("tracker", {}) or {}
     cfg.process.tracker = TrackerConfig(

@@ -78,6 +78,16 @@ class StageTimer:
         self.names.append(name)
         self.marks_us.append(now)
 
+    def record(self, name: str, ms: float) -> None:
+        """Install a stage time measured (or apportioned) externally; the
+        mark advances by ``ms`` so subsequent ``stage()`` deltas and
+        ``finish_cpi`` stay consistent."""
+        if not self.marks_us:
+            self.start()
+        self.times_ms.append(float(ms))
+        self.names.append(name)
+        self.marks_us.append(self.marks_us[-1] + int(ms * 1000.0))
+
     def finish_cpi(self) -> float:
         """Close out the CPI: records total 'cpi' time, returns it in ms."""
         now = int(self._time.time() * 1e6)

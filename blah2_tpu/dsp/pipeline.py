@@ -52,7 +52,7 @@ class CpiPipeline:
         config: Config,
         max_detections: int = 128,
         dtype=jnp.complex64,
-        spectrum_bandwidth: float = 2000.0,
+        spectrum_bandwidth: Optional[float] = None,
         diag_load: float = 0.0,
         use_jit: bool = True,
         clutter_mode: str = "circular",
@@ -62,6 +62,9 @@ class CpiPipeline:
         cap = config.capture
         proc = config.process
         n = config.n_samples
+        if spectrum_bandwidth is None:
+            spectrum_bandwidth = getattr(
+                getattr(proc, "spectrum", None), "bandwidth", 2000.0)
 
         self.ambiguity = AmbiguityProcessor(
             proc.ambiguity.delay_min,
@@ -83,7 +86,9 @@ class CpiPipeline:
                 proc.clutter, n, dtype=dtype, mode=clutter_mode,
                 diag_load=diag_load)
         # Spectrum bandwidth is hardcoded to 2 kHz in the reference
-        # (`src/blah2.cpp:198`); fc is plumbed from config (SURVEY §2.1 fix).
+        # (`src/blah2.cpp:198`); here it comes from the
+        # process.spectrum.bandwidth config key (SURVEY §2.1 fix), and fc
+        # is plumbed from config too.
         self.spectrum = SpectrumAnalyser(n, spectrum_bandwidth, cap.fc, dtype=dtype)
 
         self.detection_enabled = proc.detection.enable

@@ -79,7 +79,7 @@ class ShardedCpiPipeline:
         mesh: Mesh,
         max_detections: int = 128,
         dtype=jnp.complex64,
-        spectrum_bandwidth: float = 2000.0,
+        spectrum_bandwidth: Optional[float] = None,
         diag_load: float = 0.0,
         halo_backend: str = "ppermute",
         use_pallas_detect: bool = False,
@@ -132,6 +132,9 @@ class ShardedCpiPipeline:
         else:
             self._ramp_pad = None
 
+        if spectrum_bandwidth is None:
+            spectrum_bandwidth = getattr(
+                getattr(proc, "spectrum", None), "bandwidth", 2000.0)
         self.spectrum = SpectrumAnalyser(n, spectrum_bandwidth, cap.fc,
                                          dtype=dtype)
 

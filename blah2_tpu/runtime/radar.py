@@ -54,6 +54,7 @@ class RadarRuntime:
         ingest_chunks: Optional[int] = None,
         mesh=None,
         halo_backend: str = "ppermute",
+        staged_sample_every: int = 16,
     ):
         """``api_server``: an ApiServer for in-process publishing; when
         ``use_tcp_egress`` the products are instead sent over the six TCP
@@ -90,6 +91,16 @@ class RadarRuntime:
 
         self.pipeline = CpiPipeline(config, max_detections=max_detections)
         self.staged_timing = bool(staged_timing)
+        # Full reference timing keys on the fused hot path: every Nth CPI
+        # runs the (identical-output) staged pipeline to measure the true
+        # per-stage device split; the fused CPIs in between report their
+        # measured device wall apportioned by the latest sample's
+        # fractions, so /api/timing always carries spectrum /
+        # clutter_filter / ambiguity_processing / detector like
+        # `src/blah2.cpp:261-345` without per-CPI sync barriers. 0 disables
+        # sampling (single ambiguity_processing key, round-1 behavior).
+        self.staged_sample_every = max(0, int(staged_sample_every))
+        self._stage_fractions: Optional[dict] = None
         amb = self.pipeline.ambiguity
         self.sharded = None
         self.cpi_batch = 1
@@ -228,6 +239,41 @@ class RadarRuntime:
         self.buffer2.close()
 
     # -- the CPI loop --------------------------------------------------------
+    DEVICE_STAGES = ("spectrum", "clutter_filter", "ambiguity_processing",
+                     "detector")
+
+    def _is_sample_cpi(self) -> bool:
+        return (self.staged_sample_every > 0 and
+                self.n_cpis_done % self.staged_sample_every == 0)
+
+    def _run_staged_sample(self, x, y):
+        """Run the staged pipeline once, install the measured per-stage
+        times and refresh the apportioning fractions."""
+        st = StageTimer()
+        st.start()
+        out = self.pipeline.call_staged(x, y, timer=st)
+        total = sum(st.times_ms)
+        for name, ms in zip(st.names, st.times_ms):
+            self.timer.record(name, ms)
+        if total > 0:
+            self._stage_fractions = {
+                n: m / total for n, m in zip(st.names, st.times_ms)}
+        return out
+
+    def _record_device_split(self, total_ms: float) -> None:
+        """Report the fused program's wall under every reference stage key,
+        apportioned by the latest staged sample (estimates, refreshed every
+        ``staged_sample_every`` CPIs; the stage boundaries do not exist
+        inside the fused XLA program)."""
+        fr = self._stage_fractions
+        if fr is None:
+            for name in self.DEVICE_STAGES:
+                self.timer.record(
+                    name, total_ms if name == "ambiguity_processing" else 0.0)
+        else:
+            for name in self.DEVICE_STAGES:
+                self.timer.record(name, total_ms * fr.get(name, 0.0))
+
     def process_one_cpi(self, x: np.ndarray, y: np.ndarray,
                         timestamp_ms: Optional[int] = None) -> dict:
         """Process one CPI of host samples and emit all products.
@@ -244,12 +290,14 @@ class RadarRuntime:
             # recorded (spectrum / clutter_filter / ambiguity_processing /
             # detector) at the cost of per-stage sync barriers.
             out = self.pipeline.call_staged(x, y, timer=timer)
+        elif self._is_sample_cpi():
+            out = self._run_staged_sample(x, y)
         else:
+            t_dev = time.perf_counter()
             out = self.pipeline(x, y)
             jax.block_until_ready(out.db_map)
-            # The fused device program covers spectrum + clutter +
-            # ambiguity + CFAR; reported under ambiguity_processing.
-            timer.stage("ambiguity_processing")
+            self._record_device_split(
+                (time.perf_counter() - t_dev) * 1e3)
         return self._emit_products(out, t0)
 
     def process_one_cpi_chunks(self, x_chunks, y_chunks,
@@ -257,21 +305,33 @@ class RadarRuntime:
         """Process one CPI delivered as device-resident plane chunks
         (streaming ingest, `_extract_cpi_chunks`) and emit all products."""
         import jax
+        import jax.numpy as jnp
 
         t0 = timestamp_ms if timestamp_ms is not None else _now_ms()
-        out = self.pipeline.call_chunks(x_chunks, y_chunks)
-        jax.block_until_ready(out.db_map)
-        self.timer.stage("ambiguity_processing")
+        if self._is_sample_cpi():
+            out = self._run_staged_sample(
+                jnp.concatenate(x_chunks, axis=0),
+                jnp.concatenate(y_chunks, axis=0))
+        else:
+            t_dev = time.perf_counter()
+            out = self.pipeline.call_chunks(x_chunks, y_chunks)
+            jax.block_until_ready(out.db_map)
+            self._record_device_split(
+                (time.perf_counter() - t_dev) * 1e3)
         return self._emit_products(out, t0)
 
-    def process_cpi_batch(self, windows, stamps) -> list:
+    def process_cpi_batch(self, windows, stamps, extract_ms=None) -> list:
         """Process ``len(windows)`` CPI windows in one sharded multi-chip
         program (mesh mode) and emit every product per CPI.
 
         ``windows`` is a list of host ``(x, y)`` pairs, ``stamps`` their
-        extraction timestamps (ms). The device wall is amortized over the
-        batch in the per-CPI timing product (the batch runs as one
-        program); emission is timed individually. Returns the list of
+        extraction timestamps (ms), ``extract_ms`` the measured per-window
+        ring-assembly times. The device wall is amortized over the batch
+        under ``ambiguity_processing`` (the batch runs as one program);
+        the ``cpi`` key reports each product's TRUE latency — emission
+        time minus that window's extraction stamp — which includes the
+        wait for the batch to fill (~batch·tCpi at steady state; the
+        throughput-for-latency trade of mesh mode). Returns the list of
         emitted-JSON dicts.
         """
         import jax
@@ -294,9 +354,10 @@ class RadarRuntime:
             emitted = self._emit_products(out_i, stamps[i])
             names = ["extract_buffer", "ambiguity_processing"] + \
                 self.timer.names
-            times = [0.0, device_ms / n_batch] + self.timer.times_ms
+            times = [extract_ms[i] if extract_ms else 0.0,
+                     device_ms / n_batch] + self.timer.times_ms
             names.append("cpi")
-            times.append(sum(times))
+            times.append(float(_now_ms() - stamps[i]))
             self.timing.update(stamps[i], times, names)
             timing_json = self.timing.to_json()
             if self._save_timing_path:
@@ -307,11 +368,19 @@ class RadarRuntime:
         return results
 
     def _emit_products(self, out, t0: int) -> dict:
-        """Serialize and emit every JSON product for one CPI's outputs."""
+        """Serialize and emit every JSON product for one CPI's outputs.
+
+        Host-side serialization + publish time is reported under
+        ``output_radar_data`` (the reference's egress block,
+        `src/blah2.cpp:298-328`) and the host tracker under ``tracker``,
+        regardless of the interleaved execution order here.
+        """
         cfg = self.config
         amb = self.pipeline.ambiguity
         timer = self.timer
         emitted = {}
+        t_ser0 = time.perf_counter()
+        tracker_ms = 0.0
 
         # IqData metadata (spectrum)
         self.iq_meta.update(self.pipeline.spectrum.frequency_khz,
@@ -342,18 +411,22 @@ class RadarRuntime:
                 Detection.save(det_json, self._save_detection_path)
             self._emit("detection", det_json)
             emitted["detection"] = det_json
-            if not self.staged_timing:
-                timer.stage("detector")  # staged mode timed it on-device
+            # The on-device detector time is reported by the staged run or
+            # the apportioned split; host-side serialization of detections
+            # folds into output_radar_data below.
 
         # Tracker
         if self.tracker is not None and detection is not None:
+            t_trk = time.perf_counter()
             track = self.tracker.process(detection, t0)
+            tracker_ms = (time.perf_counter() - t_trk) * 1e3
             track_json = track.to_json(t0)
             self._emit("track", track_json)
             emitted["track"] = track_json
-            timer.stage("tracker")
 
-        timer.stage("output_radar_data")
+        timer.record("tracker", tracker_ms)
+        timer.record("output_radar_data",
+                     (time.perf_counter() - t_ser0) * 1e3 - tracker_ms)
         return emitted
 
     def _extract_cpi(self, timeout: float = 1.0):
@@ -488,25 +561,27 @@ class RadarRuntime:
         cpi-axis batches; ``n_cpis`` may be overshot by up to batch−1.
         """
         if self.sharded is not None:
-            windows, stamps = [], []
+            windows, stamps, extracts = [], [], []
             while not self._stop.is_set():
                 if n_cpis is not None and self.n_cpis_done >= n_cpis:
                     break
                 got = self._extract_cpi()
                 if got is None:
                     continue
+                self.timer.stage("extract_buffer")
                 windows.append(got)
                 stamps.append(_now_ms())
+                extracts.append(self.timer.times_ms[-1])
                 if len(windows) < self.cpi_batch:
                     continue
                 t0 = time.perf_counter()
-                self.process_cpi_batch(windows, stamps)
+                self.process_cpi_batch(windows, stamps, extracts)
                 if not quiet:
                     per = (time.perf_counter() - t0) * 1e3 / len(windows)
                     print(f"CPI time (ms): {per:.1f} "
                           f"(batch of {len(windows)})", flush=True)
                 self.n_cpis_done += len(windows)
-                windows, stamps = [], []
+                windows, stamps, extracts = [], [], []
             return
 
         chunked = self.ingest_chunks > 1 and not self.staged_timing
