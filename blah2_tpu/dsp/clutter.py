@@ -33,7 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from blah2_tpu.dsp.hamming import next_hamming, next_tpu_fft_size
+from blah2_tpu.dsp.hamming import next_tpu_fft_size
 
 
 class WienerHopfFilter:

@@ -29,7 +29,7 @@ import socket
 import socketserver
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 from blah2_tpu.config import Config
 from blah2_tpu.net.stash import (

@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from blah2_tpu.dsp.hamming import next_hamming, next_tpu_fft_size
+from blah2_tpu.dsp.hamming import next_tpu_fft_size
 
 
 def choose_segments(n: int, min_segments: int = 16,

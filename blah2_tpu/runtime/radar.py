@@ -34,7 +34,7 @@ from blah2_tpu.constants import SPEED_OF_LIGHT
 from blah2_tpu.capture.capture import Capture
 from blah2_tpu.data.ddmap import DelayDopplerMap
 from blah2_tpu.data.detection import Detection
-from blah2_tpu.data.iq import IqMetadata, IqRingBuffer
+from blah2_tpu.data.iq import IqMetadata
 from blah2_tpu.data.timing import StageTimer, Timing
 from blah2_tpu.tracker import Tracker
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from typing import Optional
 
 from blah2_tpu.data.detection import Detection
-from blah2_tpu.data.track import TrackRecord, TrackState, TrackStore
+from blah2_tpu.data.track import TrackState, TrackStore
 
 
 class Tracker:

@@ -16,7 +16,6 @@ the test prints the measured goldens — and update the constants.
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
 from blah2_tpu.capture.replay import FileReplaySource
 from blah2_tpu.capture.source import Source

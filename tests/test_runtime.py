@@ -1,7 +1,6 @@
 """End-to-end runtime test: synthetic capture → CPI loop → API products."""
 
 import json
-import threading
 import urllib.request
 
 import numpy as np

@@ -10,9 +10,6 @@ values summing to the measured device wall.
 
 import json
 
-import numpy as np
-import pytest
-
 from blah2_tpu.config import load_config
 from blah2_tpu.runtime.radar import RadarRuntime
 
