@@ -76,7 +76,12 @@ def main() -> None:
 
     api = ApiServer(cfg)
     api.start(with_ingest=False)
-    rt = RadarRuntime(cfg, api_server=api)
+    # staged_sample_every=0: the staged-timing sample would trigger four
+    # extra device-program compiles, which cost minutes each over the
+    # remote-tunnel transport this bench typically runs on (on a
+    # direct-attached TPU the production default of 16 is fine — compiles
+    # are one-time and cached).
+    rt = RadarRuntime(cfg, api_server=api, staged_sample_every=0)
 
     timings = []
     orig = rt._emit

@@ -156,17 +156,23 @@ class ShardedCpiPipeline:
 
         self.clutter_enabled = proc.clutter.enable
         kind = (getattr(proc.clutter, "filter", "wiener") or "wiener").lower()
-        if self.clutter_enabled and kind not in (
-                "wiener", "wiener-hopf", "wienerhopf"):
-            # The comparison-tier cancellers (eca-b/nlms) are single-chip
-            # only; silently running a different algorithm would be
-            # misleading (ADVICE r1).
-            import warnings
+        kind = kind.replace("_", "-")
+        if kind in ("eca-b", "ecab", "eca"):
+            self.clutter_kind = "eca-b"
+        else:
+            self.clutter_kind = "wiener"
+            if self.clutter_enabled and kind not in (
+                    "wiener", "wiener-hopf", "wienerhopf"):
+                # NLMS adapts sequentially across the whole CPI — the
+                # per-block dependency chain cannot shard over the pulse
+                # axis; warn rather than silently running a different
+                # algorithm (ADVICE r1).
+                import warnings
 
-            warnings.warn(
-                f"process.clutter.filter={kind!r} is not supported in mesh "
-                "mode; falling back to the sharded Wiener-Hopf canceller",
-                stacklevel=2)
+                warnings.warn(
+                    f"process.clutter.filter={kind!r} is not supported in "
+                    "mesh mode; falling back to the sharded Wiener-Hopf "
+                    "canceller", stacklevel=2)
         if self.clutter_enabled:
             self.nb = proc.clutter.delay_max - proc.clutter.delay_min
             self.clutter_delay_min = proc.clutter.delay_min
@@ -184,6 +190,41 @@ class ShardedCpiPipeline:
             self._abs_d = np.abs(i - j).astype(np.int32)
             self._lower = np.asarray(i > j)
             self.diag_load = diag_load
+        if self.clutter_enabled and self.clutter_kind == "eca-b":
+            # Sharded ECA-B (round 2): per-segment exact covariance-method
+            # LS (same math as dsp.clutter_eca.EcaBFilter, see that module
+            # docstring) over segments of the PADDED CPI. The time axis is
+            # already sharded in contiguous blocks, so every segment's
+            # Gram/solve is device-LOCAL — the only communication is the
+            # (nb−1)-sample history/lookahead halo with the neighbour
+            # ranks. Requested nBatches is rounded to the nearest
+            # per-block segmentation (a divisor count of block_len);
+            # segment boundaries therefore sit at multiples of
+            # n_pad/(P·S), which differs from the single-chip filter's
+            # ceil(n/B) grid — a documented divergence of mesh mode.
+            nb = self.nb
+            want_local = max(1, round(proc.clutter.n_batches /
+                                      self.n_pulse_axis))
+            divisors = [k for k in range(1, self.block_len + 1)
+                        if self.block_len % k == 0 and
+                        self.block_len // k > 2 * nb]
+            if not divisors:
+                raise ValueError(
+                    "no valid ECA-B segmentation: clutter lag window too "
+                    "large for the per-device block")
+            self.n_seg_eca = min(divisors, key=lambda k: abs(k - want_local))
+            self.seg_len_eca = self.block_len // self.n_seg_eca
+            self.n_batches_eca = self.n_seg_eca * self.n_pulse_axis
+            self.nfft_eca = next_tpu_fft_size(
+                self.seg_len_eca + 2 * (nb - 1) + nb)
+            v = np.arange(nb)[:, None]
+            k = np.arange(nb)[None, :]
+            self._eca_idx_head = (nb - 1 + v - k).astype(np.int32)
+            self._eca_idx_tail = (
+                nb - 1 + self.seg_len_eca - k + v).astype(np.int32)
+            self._eca_edge_mask = np.asarray(v < k)
+            self._eca_idx_toeplitz = (k - v + nb - 1).astype(np.int32)
+            self.diag_load_eca = diag_load if diag_load > 0.0 else 1e-4
 
         self.detection_enabled = proc.detection.enable
         if self.detection_enabled:
@@ -292,6 +333,77 @@ class ShardedCpiPipeline:
         y2 = y_loc - filt
         return jnp.where(ok, y2, y_loc), ok
 
+    def _clutter_block_ecab(self, x_loc: jnp.ndarray, y_loc: jnp.ndarray):
+        """Per-device ECA-B: exact per-segment covariance-method LS with
+        cross-boundary history (the sharded form of
+        `dsp.clutter_eca.EcaBFilter` — same Gram identity
+        ``G = Toeplitz(r) + P^H H − Q^H T``, verified against an explicit
+        X^H X). All solves are local; only the (nb−1)-sample halos cross
+        ranks. Returns ``(y_loc_filtered, ok_local)``."""
+        nb = self.nb
+        S, L, f = self.n_seg_eca, self.seg_len_eca, self.nfft_eca
+        s = self.clutter_delay_min
+        h = nb - 1
+
+        # Linear shift xs[i] = x[i − s] with zero extension (same halo
+        # pattern as the Wiener path).
+        if s < 0:
+            incoming = shift_from_next(x_loc, -s, "pulse", collective_id=2,
+                                       **self._halo_kw)
+            xs_loc = jnp.concatenate([x_loc[-s:], incoming])
+        elif s > 0:
+            incoming = shift_from_prev(x_loc, s, "pulse", collective_id=2,
+                                       **self._halo_kw)
+            xs_loc = jnp.concatenate([incoming, x_loc[:-s]])
+        else:
+            xs_loc = x_loc
+
+        main = xs_loc.reshape(S, L)
+        halo_next = shift_from_next(xs_loc, h, "pulse", collective_id=0,
+                                    **self._halo_kw)
+        halo_prev = shift_from_prev(xs_loc, h, "pulse", collective_id=1,
+                                    **self._halo_kw)
+        if S > 1:
+            tails = jnp.concatenate([main[1:, :h], halo_next[None]], axis=0)
+            heads = jnp.concatenate([halo_prev[None], main[:-1, L - h:]],
+                                    axis=0)
+        else:
+            tails = halo_next[None]
+            heads = halo_prev[None]
+        # ext[i] = xs[t0 − (nb−1) + i]: history + body + lookahead.
+        ext = jnp.concatenate([heads, main, tails], axis=1)  # (S, L+2h)
+        yb = y_loc.reshape(S, L)
+
+        ext_f = jnp.fft.fft(ext, n=f, axis=-1)
+        c_seg = jnp.conj(jnp.fft.ifft(
+            ext_f * jnp.conj(jnp.fft.fft(main, n=f, axis=-1)), axis=-1))
+        c_y = jnp.conj(jnp.fft.ifft(
+            ext_f * jnp.conj(jnp.fft.fft(yb, n=f, axis=-1)), axis=-1))
+        r_full = c_seg[:, :2 * nb - 1]
+        b = c_y[:, :nb][:, ::-1]
+
+        Pm = ext[:, self._eca_idx_head]
+        Qm = ext[:, self._eca_idx_tail]
+        Hm = jnp.where(self._eca_edge_mask[None], Pm, 0)
+        Tm = jnp.where(self._eca_edge_mask[None], Qm, 0)
+        G = r_full[:, self._eca_idx_toeplitz]
+        G = G + jnp.einsum("svk,svj->skj", jnp.conj(Pm), Hm)
+        G = G - jnp.einsum("svk,svj->skj", jnp.conj(Qm), Tm)
+        load = (self.diag_load_eca * jnp.real(r_full[:, nb - 1]) + 1e-30
+                ).astype(self.dtype)
+        G = G + load[:, None, None] * jnp.eye(nb, dtype=self.dtype)[None]
+
+        chol = jnp.linalg.cholesky(G)
+        w = jax.scipy.linalg.cho_solve((chol, True), b[..., None])[..., 0]
+        ok_seg = jnp.all(jnp.isfinite(w.real) & jnp.isfinite(w.imag),
+                         axis=-1)
+        w = jnp.where(ok_seg[:, None], w, jnp.zeros_like(w))
+
+        filt = jnp.fft.ifft(
+            jnp.fft.fft(w, n=f, axis=-1) * ext_f, axis=-1)[:, h:h + L]
+        y2 = (yb - filt).reshape(self.block_len)
+        return y2, jnp.all(ok_seg)
+
     def _ambiguity_block(self, x_loc: jnp.ndarray, y_loc: jnp.ndarray):
         """Per-device range + Doppler stages; psum over pulse → full map."""
         amb = self.ambiguity
@@ -338,7 +450,15 @@ class ShardedCpiPipeline:
         def block_fn(x_blk, y_blk):
             # x_blk: (B_local, block_len) on this device.
             def one_cpi(x_loc, y_loc):
-                if self.clutter_enabled:
+                if self.clutter_enabled and self.clutter_kind == "eca-b":
+                    y2, ok_local = self._clutter_block_ecab(x_loc, y_loc)
+                    # Per-rank solves: a failed segment anywhere flags the
+                    # CPI (the Wiener path's replicated solve agrees on
+                    # all ranks by construction; ECA-B's are local).
+                    ok = jax.lax.psum(
+                        jnp.logical_not(ok_local).astype(jnp.int32),
+                        "pulse") == 0
+                elif self.clutter_enabled:
                     y2, ok = self._clutter_block(x_loc, y_loc)
                 else:
                     y2, ok = y_loc, jnp.asarray(True)

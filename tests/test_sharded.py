@@ -122,3 +122,69 @@ def test_row_shard_layouts_match_single_device(row_shard):
         want = set(zip(np.asarray(ref.detections.row)[v_r],
                        np.asarray(ref.detections.col)[v_r]))
         assert got == want
+
+
+def test_sharded_ecab_matches_exact_ls_oracle():
+    """Sharded ECA-B (round 2): per-segment exact covariance-method LS
+    with halo-borne cross-boundary history. Must equal the NumPy lstsq
+    oracle applied to the padded CPI at the sharded segmentation, followed
+    by the ambiguity chain."""
+    from tests.test_clutter_eca import _exact_ls_oracle
+
+    cfg = _config()
+    cfg.process.clutter.filter = "eca-b"
+    cfg.process.clutter.n_batches = 8
+    x, y = synthetic_cpi(cfg.n_samples, cfg.capture.fs,
+                         [TargetSpec(20, -44.0, 0.1)],
+                         clutter_amplitude=2.0, noise_amplitude=1e-3,
+                         seed=21)
+
+    mesh = make_radar_mesh(2, 4)
+    sp = ShardedCpiPipeline(cfg, mesh, dtype=jnp.complex128,
+                            diag_load=1e-30)
+    assert sp.clutter_kind == "eca-b"
+    out = sp(*sp.shard_inputs(np.stack([x, x]), np.stack([y, y])))
+    assert bool(out.clutter_ok[0])
+
+    # Oracle: exact LS on the padded CPI at the sharded segment grid.
+    n, n_pad = cfg.n_samples, sp.n_pad
+    xp = np.pad(x, (0, n_pad - n))
+    yp = np.pad(y, (0, n_pad - n))
+    y_exp = _exact_ls_oracle(xp, yp, cfg.process.clutter.delay_min,
+                             cfg.process.clutter.delay_max,
+                             sp.n_batches_eca)
+
+    cfg2 = _config()
+    cfg2.process.clutter.enable = False
+    single = CpiPipeline(cfg2, dtype=jnp.complex128)
+    ref = single(jnp.asarray(x), jnp.asarray(y_exp[:n]))
+    np.testing.assert_allclose(np.asarray(out.db_map)[0],
+                               np.asarray(ref.db_map),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_ecab_detects_target_under_drifting_clutter():
+    """End-to-end value check: eca-b in mesh mode cancels drifting clutter
+    the full-CPI Wiener filter cannot, recovering the target."""
+    rng = np.random.default_rng(3)
+    cfg = _config()
+    cfg.process.clutter.filter = "eca-b"
+    cfg.process.clutter.n_batches = 8
+    n, fs = cfg.n_samples, cfg.capture.fs
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) / np.sqrt(2)
+    t = np.arange(n) / fs
+    gain = (2.0 + 1.0 * np.sin(2 * np.pi * t / t[-1])) * \
+        np.exp(1j * np.pi * (t / t[-1]) ** 2)
+    # Target OUTSIDE the clutter lag window (delay 35 > delayMax 30):
+    # the canceller must remove the drifting clutter and keep the target.
+    xd = np.zeros_like(x)
+    xd[35:] = x[:-35]
+    y = gain * x + 0.1 * xd * np.exp(2j * np.pi * -44.0 * t) + \
+        1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+
+    mesh = make_radar_mesh(2, 4)
+    sp = ShardedCpiPipeline(cfg, mesh)
+    out = sp(*sp.shard_inputs(np.stack([x, x]), np.stack([y, y])))
+    v = np.asarray(out.detections.valid)[0]
+    delays = np.asarray(out.detections.delay)[0][v]
+    assert np.any(np.abs(delays - 35) < 1.0)
