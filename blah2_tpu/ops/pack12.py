@@ -1,0 +1,67 @@
+"""Packed 12-bit IQ wire format for the host→device boundary.
+
+The RSPduo's dual-tuner mode — the flagship capture device and the source
+of the `.rspduo` record format — digitises at 12 bits (sdrplay spec for
+2 MHz dual-tuner operation; samples arrive as int16 ADC counts within
+±2047, `RspDuo.cpp:450-552`). The host→device transfer is the production
+bottleneck on remote transports (and still the largest data movement on
+direct-attached hosts), so the pipeline accepts CPIs packed two 12-bit
+values per 3 bytes: 25 % fewer bytes than int16 with bit-exact round-trip
+for in-range data.
+
+Packing runs on the host (vectorised NumPy, ~ms per 1.5 Msample CPI);
+unpacking runs inside the jitted device program (a handful of elementwise
+integer shifts on the VPU, fused with the complex formation) so the saved
+bytes are pure win.
+
+Layout per value pair (u = v + 2048, unsigned 12-bit):
+    byte0 = u0 >> 4
+    byte1 = ((u0 & 0xF) << 4) | (u1 >> 8)
+    byte2 = u1 & 0xFF
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+OFFSET = 2048
+MIN12, MAX12 = -2048, 2047
+
+
+def pack12(values: np.ndarray) -> np.ndarray:
+    """Pack an int16/int32 array (even count, each in [-2048, 2047]) into
+    a uint8 array of 3 bytes per 2 values. Out-of-range input raises —
+    packing must be lossless (use the int16 path for >12-bit sources)."""
+    v = np.asarray(values).reshape(-1)
+    if v.size % 2:
+        raise ValueError("pack12 needs an even number of values")
+    if v.size and (v.min() < MIN12 or v.max() > MAX12):
+        raise ValueError(
+            f"pack12 input exceeds 12-bit range [{MIN12}, {MAX12}]: "
+            f"[{v.min()}, {v.max()}]")
+    u = (v.astype(np.int32) + OFFSET).astype(np.uint32).reshape(-1, 2)
+    out = np.empty((u.shape[0], 3), dtype=np.uint8)
+    out[:, 0] = u[:, 0] >> 4
+    out[:, 1] = ((u[:, 0] & 0xF) << 4) | (u[:, 1] >> 8)
+    out[:, 2] = u[:, 1] & 0xFF
+    return out.reshape(-1)
+
+
+def unpack12(packed: jnp.ndarray, n_values: int) -> jnp.ndarray:
+    """Device-side unpack: uint8 (3·n/2,) → int32 (n,). Traceable; a few
+    VPU shifts, fuses with downstream complex formation."""
+    b = packed.reshape(-1, 3).astype(jnp.int32)
+    u0 = (b[:, 0] << 4) | (b[:, 1] >> 4)
+    u1 = ((b[:, 1] & 0xF) << 8) | b[:, 2]
+    u = jnp.stack([u0, u1], axis=-1).reshape(-1)
+    return u[:n_values] - OFFSET
+
+
+def unpack12_np(packed: np.ndarray, n_values: int) -> np.ndarray:
+    """NumPy reference unpack (tests, host-side tooling)."""
+    b = np.asarray(packed, dtype=np.uint32).reshape(-1, 3)
+    u0 = (b[:, 0] << 4) | (b[:, 1] >> 4)
+    u1 = ((b[:, 1] & 0xF) << 8) | b[:, 2]
+    u = np.stack([u0, u1], axis=-1).reshape(-1)
+    return u[:n_values].astype(np.int32) - OFFSET

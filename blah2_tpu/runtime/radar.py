@@ -150,6 +150,18 @@ class RadarRuntime:
                     f"{self.advance}")
         self._retained_chunks: list = []   # device (xd, yd) pairs kept
         self._pending_chunks: list = []    # device pairs of the in-fill CPI
+        # Wire dtype for host->device ingest: sources that deliver integer
+        # ADC counts (stored exactly in the complex64 rings) ship as int
+        # planes and widen on device — half (int16) or a quarter (int8)
+        # of the f32-plane bytes; the dominant cost on remote transports
+        # and still the largest data movement on direct-attached hosts.
+        # Float-valued sources (Synthetic, Usrp fc32) keep f32 planes.
+        wire_map = {"RspDuo": np.int16, "HackRF": np.int8,
+                    "Kraken": np.int8}
+        if config.capture.replay.state:
+            self._wire_dtype = np.int16  # record files are int16 quads
+        else:
+            self._wire_dtype = wire_map.get(config.capture.device_type)
         # Native C++ ring buffers when built (make -C native), else Python.
         self.buffer1 = make_ring_buffer(config.buffer_samples)
         self.buffer2 = make_ring_buffer(config.buffer_samples)
@@ -242,6 +254,21 @@ class RadarRuntime:
     DEVICE_STAGES = ("spectrum", "clutter_filter", "ambiguity_processing",
                      "detector")
 
+    def _wire(self, planes: np.ndarray) -> np.ndarray:
+        """Cast f32 planes to the stream's integer wire dtype (half/quarter
+        the transfer bytes; the device program widens). Every cast is
+        verified exact — the first non-integer or out-of-range block
+        permanently falls back to f32 planes, so a mislabeled stream can
+        never be silently quantised. The verification is one vectorized
+        compare, far cheaper than the bytes it saves."""
+        if self._wire_dtype is None or not isinstance(planes, np.ndarray):
+            return planes
+        cast = planes.astype(self._wire_dtype)
+        if not np.array_equal(cast, planes):
+            self._wire_dtype = None
+            return planes
+        return cast
+
     def _is_sample_cpi(self) -> bool:
         return (self.staged_sample_every > 0 and
                 self.n_cpis_done % self.staged_sample_every == 0)
@@ -293,8 +320,10 @@ class RadarRuntime:
         elif self._is_sample_cpi():
             out = self._run_staged_sample(x, y)
         else:
+            pipe = self.pipeline
             t_dev = time.perf_counter()
-            out = self.pipeline(x, y)
+            out = pipe._fn(self._wire(pipe.to_planes(x, pipe._plane_dtype)),
+                           self._wire(pipe.to_planes(y, pipe._plane_dtype)))
             jax.block_until_ready(out.db_map)
             self._record_device_split(
                 (time.perf_counter() - t_dev) * 1e3)
@@ -545,8 +574,10 @@ class RadarRuntime:
                 self._retained_chunks = []
                 self._pending_chunks = []
                 continue
-            xd = jax.device_put(pipe.to_planes(xb, pipe._plane_dtype))
-            yd = jax.device_put(pipe.to_planes(yb, pipe._plane_dtype))
+            xd = jax.device_put(self._wire(pipe.to_planes(
+                xb, pipe._plane_dtype)))
+            yd = jax.device_put(self._wire(pipe.to_planes(
+                yb, pipe._plane_dtype)))
             self._pending_chunks.append((xd, yd))
         self.timer.start()
         chunks = self._retained_chunks + self._pending_chunks

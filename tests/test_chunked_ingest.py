@@ -159,3 +159,73 @@ def test_bad_chunk_geometry_rejected():
     n = cfg.n_samples
     with pytest.raises(ValueError, match="divide"):
         RadarRuntime(cfg, ingest_chunks=7 if n % 7 else 11)
+
+
+def test_integer_wire_dtype_products_match_float(tmp_path):
+    """Replay streams carry exact int16 ADC counts, so shipping int16
+    planes (half the f32 bytes) must produce identical products."""
+    import numpy as np
+
+    from blah2_tpu.capture.source import Source
+    from blah2_tpu.capture.synthetic import TargetSpec, synthetic_cpi
+    from blah2_tpu.config import config_from_dict
+    from blah2_tpu.runtime.radar import RadarRuntime
+
+    fs, cpi = 40_000, 0.2
+    n = int(fs * cpi)
+    x, y = synthetic_cpi(n, fs, [TargetSpec(12, 30.0, 0.05)],
+                         clutter_amplitude=2.0, noise_amplitude=1e-3,
+                         seed=4)
+    src = Source("RspDuo", fs, 100e6, path=str(tmp_path))
+    fname = src.open_record_file()
+    src.record(x * 1000.0, y * 1000.0)
+    src.close_record_file()
+
+    def make_cfg():
+        return config_from_dict({
+            "capture": {"fs": fs, "fc": 100e6,
+                        "replay": {"state": True, "loop": True,
+                                   "file": fname}},
+            "process": {
+                "data": {"cpi": cpi, "buffer": 4},
+                "ambiguity": {"delayMin": -5, "delayMax": 40,
+                              "dopplerMin": -100, "dopplerMax": 100},
+                "clutter": {"enable": True, "delayMin": -5, "delayMax": 20},
+                "detection": {"enable": True, "pfa": 1e-5, "nGuard": 2,
+                              "nTrain": 6, "minDelay": 5, "minDoppler": 10,
+                              "nCentroid": 6},
+            },
+        })
+
+    products = {}
+    for label, force_float in (("wire", False), ("float", True)):
+        rt = RadarRuntime(make_cfg(), staged_sample_every=0)
+        if force_float:
+            rt._wire_dtype = None
+        else:
+            assert rt._wire_dtype == np.int16
+        captured = {}
+        orig = rt._emit_products
+
+        def cap(out, t0, _c=captured, _o=orig):
+            e = _o(out, t0)
+            _c.update(e)
+            return e
+
+        rt._emit_products = cap
+        rt.start_capture()
+        try:
+            rt.run(n_cpis=1, quiet=True)
+        finally:
+            rt.stop()
+        products[label] = captured
+
+    import json
+
+    m_wire = json.loads(products["wire"]["map"])
+    m_float = json.loads(products["float"]["map"])
+    assert m_wire["data"] == m_float["data"]
+    d_wire = json.loads(products["wire"]["detection"])
+    d_float = json.loads(products["float"]["detection"])
+    for k in ("delay", "doppler", "snr"):
+        assert d_wire[k] == d_float[k]
