@@ -276,9 +276,12 @@ class RadarRuntime:
     def _run_staged_sample(self, x, y):
         """Run the staged pipeline once, install the measured per-stage
         times and refresh the apportioning fractions."""
+        import jax
+
         st = StageTimer()
         st.start()
         out = self.pipeline.call_staged(x, y, timer=st)
+        out = jax.device_get(out)  # batched product fetch (one round trip)
         total = sum(st.times_ms)
         for name, ms in zip(st.names, st.times_ms):
             self.timer.record(name, ms)
@@ -324,7 +327,12 @@ class RadarRuntime:
             t_dev = time.perf_counter()
             out = pipe._fn(self._wire(pipe.to_planes(x, pipe._plane_dtype)),
                            self._wire(pipe.to_planes(y, pipe._plane_dtype)))
-            jax.block_until_ready(out.db_map)
+            # One batched device->host fetch of every product: N small
+            # np.asarray fetches would each pay the transport round trip,
+            # and it (not block_until_ready, which returns early on some
+            # remote transports) forces true completion so the device
+            # split is measured, not deferred into serialization.
+            out = jax.device_get(out)
             self._record_device_split(
                 (time.perf_counter() - t_dev) * 1e3)
         return self._emit_products(out, t0)
@@ -344,7 +352,8 @@ class RadarRuntime:
         else:
             t_dev = time.perf_counter()
             out = self.pipeline.call_chunks(x_chunks, y_chunks)
-            jax.block_until_ready(out.db_map)
+            # Batched fetch; forces true completion (see process_one_cpi).
+            out = jax.device_get(out)
             self._record_device_split(
                 (time.perf_counter() - t_dev) * 1e3)
         return self._emit_products(out, t0)
@@ -370,9 +379,18 @@ class RadarRuntime:
         t_dev0 = time.perf_counter()
         xj, yj = self.sharded.shard_inputs(xb, yb)
         out = self.sharded(xj, yj)
-        # Force end-to-end completion (block_until_ready returns early on
-        # some remote transports).
-        np.asarray(out.noise_power)
+        # One batched fetch of the whole batch's products; also forces
+        # end-to-end completion (block_until_ready returns early on some
+        # remote transports). Multi-host meshes shard the batch across
+        # processes, so gather globally there.
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            out = jax.tree.map(
+                lambda a: np.asarray(
+                    multihost_utils.process_allgather(a, tiled=True)), out)
+        else:
+            out = jax.device_get(out)
         device_ms = (time.perf_counter() - t_dev0) * 1e3
         n_batch = len(windows)
 
