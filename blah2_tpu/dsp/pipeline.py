@@ -292,8 +292,21 @@ class CpiPipeline:
             fn = self._fn_raw
 
             def fnc(xc, yc):
-                return fn(jnp.concatenate(xc, axis=0),
-                          jnp.concatenate(yc, axis=0))
+                def cat(chunks):
+                    parts = []
+                    for ch in chunks:
+                        if ch.dtype == jnp.uint8:
+                            # Packed-12-bit chunk (ops.pack12): unpack to
+                            # int planes on device.
+                            from blah2_tpu.ops.pack12 import unpack12
+
+                            v = unpack12(ch, (ch.size * 2) // 3)
+                            parts.append(v.reshape(-1, 2))
+                        else:
+                            parts.append(ch)
+                    return jnp.concatenate(parts, axis=0)
+
+                return fn(cat(xc), cat(yc))
 
             prog = jax.jit(fnc)
             self._chunked_cache[key] = prog

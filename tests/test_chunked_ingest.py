@@ -28,6 +28,19 @@ def _cfg(overlap=0.0, detection=True):
     })
 
 
+def _chunk_col0(chunks):
+    """First-plane values of possibly packed device chunks."""
+    from blah2_tpu.ops.pack12 import unpack12_np
+
+    cols = []
+    for p in chunks:
+        a = np.asarray(p)
+        if a.dtype == np.uint8:  # packed-12-bit chunk
+            a = unpack12_np(a, (a.size * 2) // 3).reshape(-1, 2)
+        cols.append(a[:, 0])
+    return np.concatenate(cols)
+
+
 def _iq(n, seed=0):
     rng = np.random.default_rng(seed)
     x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
@@ -94,7 +107,7 @@ def test_chunked_overlap_windows_slide():
         got = rt._extract_cpi_chunks(timeout=0.2)
         assert got is not None
         xc, _ = got
-        window = np.concatenate([np.asarray(p)[:, 0] for p in xc])
+        window = _chunk_col0(xc)
         assert window.shape == (n,)
         np.testing.assert_array_equal(window,
                                       np.arange(window[0], window[0] + n))
@@ -121,7 +134,7 @@ def test_chunked_timeout_keeps_partial_progress():
     got = rt._extract_cpi_chunks(timeout=0.2)
     assert got is not None
     xc, _ = got
-    window = np.concatenate([np.asarray(p)[:, 0] for p in xc])
+    window = _chunk_col0(xc)
     np.testing.assert_array_equal(window, np.arange(n))
 
 
@@ -147,7 +160,7 @@ def test_chunked_overflow_resets_window():
     got = rt._extract_cpi_chunks(timeout=0.2)
     assert got is not None
     xc, _ = got
-    window = np.concatenate([np.asarray(p)[:, 0] for p in xc])
+    window = _chunk_col0(xc)
     # fresh contiguous window, not stitched across the seam
     np.testing.assert_array_equal(window,
                                   np.arange(window[0], window[0] + n))
@@ -229,3 +242,79 @@ def test_integer_wire_dtype_products_match_float(tmp_path):
     d_float = json.loads(products["float"]["detection"])
     for k in ("delay", "doppler", "snr"):
         assert d_wire[k] == d_float[k]
+
+
+def test_pack12_chunks_products_match_float(tmp_path):
+    """12-bit-range replay streams pack chunks to 25% fewer bytes; the
+    products must be identical to the f32-plane path (unpack is exact)."""
+    import json
+
+    import numpy as np
+
+    from blah2_tpu.capture.source import Source
+    from blah2_tpu.capture.synthetic import TargetSpec, synthetic_cpi
+    from blah2_tpu.config import config_from_dict
+    from blah2_tpu.runtime.radar import RadarRuntime
+
+    fs, cpi = 40_000, 0.2
+    n = int(fs * cpi)
+    x, y = synthetic_cpi(n, fs, [TargetSpec(12, 30.0, 0.05)],
+                         clutter_amplitude=2.0, noise_amplitude=1e-3,
+                         seed=4)
+    src = Source("RspDuo", fs, 100e6, path=str(tmp_path))
+    fname = src.open_record_file()
+    # 12-bit ADC scaling: all counts within +/-2047.
+    src.record(np.clip(x.real * 300, -2047, 2047) +
+               1j * np.clip(x.imag * 300, -2047, 2047),
+               np.clip(y.real * 300, -2047, 2047) +
+               1j * np.clip(y.imag * 300, -2047, 2047))
+    src.close_record_file()
+
+    def make_cfg():
+        return config_from_dict({
+            "capture": {"fs": fs, "fc": 100e6,
+                        "replay": {"state": True, "loop": True,
+                                   "file": fname}},
+            "process": {
+                "data": {"cpi": cpi, "buffer": 4},
+                "ambiguity": {"delayMin": -5, "delayMax": 40,
+                              "dopplerMin": -100, "dopplerMax": 100},
+                "clutter": {"enable": True, "delayMin": -5, "delayMax": 20},
+                "detection": {"enable": True, "pfa": 1e-5, "nGuard": 2,
+                              "nTrain": 6, "minDelay": 5, "minDoppler": 10,
+                              "nCentroid": 6},
+            },
+        })
+
+    products = {}
+    for label, disable in (("packed", False), ("float", True)):
+        rt = RadarRuntime(make_cfg(), staged_sample_every=0)
+        if disable:
+            rt._wire_dtype = None
+            rt._pack12_ok = False
+        captured = {}
+        orig = rt._emit_products
+
+        def cap(out, t0, _c=captured, _o=orig):
+            e = _o(out, t0)
+            _c.update(e)
+            return e
+
+        rt._emit_products = cap
+        rt.start_capture()
+        try:
+            rt.run(n_cpis=1, quiet=True)
+        finally:
+            rt.stop()
+        if not disable:
+            # The packed path actually engaged (12-bit range held).
+            assert rt._pack12_ok and rt._wire_dtype == np.int16
+        products[label] = captured
+
+    m_p = json.loads(products["packed"]["map"])
+    m_f = json.loads(products["float"]["map"])
+    assert m_p["data"] == m_f["data"]
+    d_p = json.loads(products["packed"]["detection"])
+    d_f = json.loads(products["float"]["detection"])
+    for k in ("delay", "doppler", "snr"):
+        assert d_p[k] == d_f[k]
