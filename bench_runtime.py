@@ -66,7 +66,12 @@ def main() -> None:
         y = (2.0 * x + 0.1 * np.roll(x, 37) *
              np.exp(2j * np.pi * 60.0 * t) +
              1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)))
-        src.record(x * 2000.0, y * 2000.0)
+        # 12-bit ADC scaling (the RSPduo's native depth): counts within
+        # ±2047, so the packed-12-bit ingest path engages.
+        def adc(v):
+            return (np.clip(v.real * 300.0, -2047, 2047) +
+                    1j * np.clip(v.imag * 300.0, -2047, 2047))
+        src.record(adc(x), adc(y))
     src.close_record_file()
 
     cfg.capture.replay.state = True

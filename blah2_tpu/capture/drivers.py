@@ -361,6 +361,12 @@ class UsrpSource(Source):
             stop = U.StreamCmdT(stream_mode=U.STREAM_MODE_STOP_CONTINUOUS,
                                 stream_now=True)
             lib.uhd_rx_streamer_issue_stream_cmd(streamer, C.byref(stop))
+            for free_fn, handle in (("uhd_rx_metadata_free", meta),
+                                    ("uhd_rx_streamer_free", streamer),
+                                    ("uhd_subdev_spec_free", spec)):
+                fn = getattr(lib, free_fn, None)
+                if fn is not None:
+                    fn(C.byref(handle))
             lib.uhd_usrp_free(C.byref(usrp))
 
 
