@@ -225,6 +225,42 @@ def main(argv=None) -> None:
         "agreement": {"db_map_identical": bool(np.array_equal(a, b))},
     })
 
+    # -- wire format: f32 planes vs int16 quads vs packed 12-bit ---------
+    # Bytes across the host->device boundary per CPI (both channels):
+    # 16n (f32 planes) vs 8n (int16 quads) vs 6n (ops.pack12). The 12-bit
+    # variant quantises the scene to the RSPduo's native ADC range first,
+    # so all three compute the same products on the same counts.
+    from blah2_tpu.ops.pack12 import MAX12, MIN12, pack12
+
+    quad12 = np.clip(quad // 16, MIN12, MAX12).astype(np.int16)
+    packed = pack12(quad12)
+    planes_x = quad12[:, :2].astype(np.float32)
+    planes_y = quad12[:, 2:].astype(np.float32)
+    np.asarray(pipe.call_quad12(packed).noise_power)
+    np.asarray(pipe(planes_x, planes_y).noise_power)
+    variants = [
+        {"name": "f32_planes", "bytes_per_cpi": 16 * n,
+         "wall_ms": round(_best_ms(
+             lambda: np.asarray(pipe(planes_x, planes_y).noise_power),
+             reps), 2)},
+        {"name": "int16_quads", "bytes_per_cpi": 8 * n,
+         "wall_ms": round(_best_ms(
+             lambda: np.asarray(pipe.call_quad(quad12).noise_power),
+             reps), 2)},
+        {"name": "packed_12bit", "bytes_per_cpi": 6 * n,
+         "wall_ms": round(_best_ms(
+             lambda: np.asarray(pipe.call_quad12(packed).noise_power),
+             reps), 2)},
+    ]
+    a = np.asarray(pipe.call_quad(quad12).db_map)
+    b = np.asarray(pipe.call_quad12(packed).db_map)
+    results.append({
+        "comparison": "wire_format",
+        "variants": variants,
+        "agreement": {"db_map_identical_int16_vs_packed":
+                      bool(np.array_equal(a, b))},
+    })
+
     for r in results:
         r["geometry"] = {"n_samples": n, "fs": fs,
                          "backend": jax.default_backend()}
