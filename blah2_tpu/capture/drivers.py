@@ -21,7 +21,11 @@ TPU-first divergences from the reference (documented, intentional):
   * recordings use the universal int16-quad format of
     :meth:`Source.record` for every device so any recording replays
     everywhere (the reference writes per-device formats:
-    `Usrp.cpp:96-104` float32 pairs, `RspDuo.cpp:523-535` short quads);
+    `Usrp.cpp:96-104` float32 pairs, `RspDuo.cpp:523-535` short quads).
+    Float-valued sources scale to ADC counts first
+    (``Source.record_scale``); devices whose channels stream from
+    independent vendor threads (HackRF, Kraken) record through the
+    paired per-channel buffer of :meth:`Source.record_channel`;
   * a failed vendor call raises (``SdrplayError``/``UhdError``/…) instead
     of ``exit(1)`` (`RspDuo.cpp:118-126`) so the capture orchestrator can
     fall back or retry.
@@ -142,8 +146,28 @@ class RspDuoSource(Source):
         super().start()
         self._api = S.SdrplayApi(lib=self._lib)
         self._api.open()
-        self._device = self._api.select_rspduo_dual_tuner()
-        params = self._api.get_device_params(self._device.dev)
+        try:
+            self._device = self._api.select_rspduo_dual_tuner()
+        except Exception:
+            self._api.close()
+            self._api = None
+            raise
+        try:
+            params = self._api.get_device_params(self._device.dev)
+            self._configure_params(params)
+        except Exception:
+            # Release the selected device on a failed parameter write so
+            # the API is not left locked to it (a retry would otherwise
+            # find the RSPduo permanently claimed).
+            self._api.release(self._device)
+            self._api.close()
+            self._api = None
+            self._device = None
+            raise
+
+    def _configure_params(self, params) -> None:
+        """Write the device parameter tree (`RspDuo.cpp:243-448`)."""
+        from blah2_tpu.capture.vendor import sdrplay as S
 
         dev = params.devParams.contents
         dev.mode = S.BULK if self.usb_bulk else S.ISOCH
@@ -227,8 +251,10 @@ class RspDuoSource(Source):
             S.StreamCallback(self._stream_a),
             S.StreamCallback(self._stream_b),
             S.EventCallback(self._event))
-        self._api.init(self._device.dev, self._cbfns)
+        inited = False
         try:
+            self._api.init(self._device.dev, self._cbfns)
+            inited = True
             # Gains are re-applied after init (`RspDuo.cpp:112-134`).
             self._params.rxChannelA.contents.tunerParams.gain.gRdB = \
                 self.gain_reduction[0]
@@ -239,7 +265,11 @@ class RspDuoSource(Source):
             while not self.stopped:
                 time.sleep(0.01)
         finally:
-            self._api.uninit(self._device.dev)
+            # A failed Init must still release + close, or the API stays
+            # locked to the selected device; Uninit only after a
+            # successful Init.
+            if inited:
+                self._api.uninit(self._device.dev)
             self._api.release(self._device)
             self._api.close()
 
@@ -253,6 +283,11 @@ class UsrpSource(Source):
     STREAM_START_DELAY_S = 0.05
     HOST_FORMAT = "fc32"
     WIRE_FORMAT = "sc16"
+    #: fc32 samples are normalized to [-1, 1]; map full scale onto the
+    #: int16-quad record format (the reference records raw float32 pairs,
+    #: `Usrp.cpp:96-104` — the universal-format divergence needs this
+    #: scale or the unscaled cast truncates everything to {-1, 0, 1}).
+    record_scale = 32767.0
 
     def __init__(self, fs: float, fc: float, address: str = "localhost",
                  subdev: str = "A:A A:B",
@@ -271,78 +306,86 @@ class UsrpSource(Source):
             raise ValueError("Usrp needs exactly 2 gain entries")
 
     def process(self, buffer1, buffer2) -> None:
-        """Configure and run the recv loop (`Usrp.cpp:30-105`)."""
+        """Configure and run the recv loop (`Usrp.cpp:30-105`).
+
+        Every handle is created under the cleanup scope: a failed setup
+        call (bad subdev, unreachable address, rejected rate) releases
+        whatever was already claimed, so a retry against the same device
+        does not hit a leaked, still-claimed handle."""
         from blah2_tpu.capture.vendor import uhd as U
 
         api = U.UhdApi(lib=self._lib)
         lib = api.lib
 
         usrp = C.c_void_p()
-        api.check(lib.uhd_usrp_make(
-            C.byref(usrp), f"addr={self.address}".encode()), "make usrp")
-
         spec = C.c_void_p()
-        api.check(lib.uhd_subdev_spec_make(
-            C.byref(spec), self.subdev.encode()), "make subdev spec")
-        api.check(lib.uhd_usrp_set_rx_subdev_spec(usrp, spec, 0),
-                  "set subdev spec")
-        for ch in (0, 1):
-            api.check(lib.uhd_usrp_set_rx_antenna(
-                usrp, self.antenna[ch].encode(), ch), "set antenna")
-        api.check(lib.uhd_usrp_set_rx_rate(usrp, self.fs, 0),
-                  "set rate ch0")
-        api.check(lib.uhd_usrp_set_rx_rate(usrp, self.fs, 1),
-                  "set rate ch1")
-        for ch in (0, 1):
-            req = U.TuneRequestT(
-                target_freq=self.fc,
-                rf_freq_policy=U.TUNE_REQUEST_POLICY_AUTO,
-                dsp_freq_policy=U.TUNE_REQUEST_POLICY_AUTO)
-            res = U.TuneResultT()
-            api.check(lib.uhd_usrp_set_rx_freq(
-                usrp, C.byref(req), ch, C.byref(res)), "set freq")
-            api.check(lib.uhd_usrp_set_rx_gain(
-                usrp, self.gain[ch], ch, b""), "set gain")
-
         streamer = C.c_void_p()
-        api.check(lib.uhd_rx_streamer_make(C.byref(streamer)),
-                  "make rx streamer")
-        channels = (C.c_size_t * 2)(0, 1)
-        args = U.StreamArgsT(
-            cpu_format=self.HOST_FORMAT.encode(),
-            otw_format=self.WIRE_FORMAT.encode(),
-            args=b"", channel_list=channels, n_channels=2)
-        api.check(lib.uhd_usrp_get_rx_stream(
-            usrp, C.byref(args), streamer), "get rx stream")
-
-        max_samps = C.c_size_t(0)
-        api.check(lib.uhd_rx_streamer_max_num_samps(
-            streamer, C.byref(max_samps)), "max_num_samps")
-        samps = int(max_samps.value) or 4096
-
-        # Timed start +50 ms aligns both channels (`Usrp.cpp:71-73`).
-        full = C.c_int64(0)
-        frac = C.c_double(0.0)
-        api.check(lib.uhd_usrp_get_time_now(
-            usrp, 0, C.byref(full), C.byref(frac)), "get_time_now")
-        t = full.value + frac.value + self.STREAM_START_DELAY_S
-        cmd = U.StreamCmdT(
-            stream_mode=U.STREAM_MODE_START_CONTINUOUS,
-            num_samps=0, stream_now=False,
-            time_spec_full_secs=int(t), time_spec_frac_secs=t - int(t))
-        api.check(lib.uhd_rx_streamer_issue_stream_cmd(
-            streamer, C.byref(cmd)), "issue stream cmd")
-
         meta = C.c_void_p()
-        api.check(lib.uhd_rx_metadata_make(C.byref(meta)), "make metadata")
-
-        buf1 = np.empty(samps, dtype=np.complex64)
-        buf2 = np.empty(samps, dtype=np.complex64)
-        ptrs = (C.c_void_p * 2)(
-            buf1.ctypes.data_as(C.c_void_p).value,
-            buf2.ctypes.data_as(C.c_void_p).value)
-        received = C.c_size_t(0)
+        streaming = False
         try:
+            api.check(lib.uhd_usrp_make(
+                C.byref(usrp), f"addr={self.address}".encode()), "make usrp")
+
+            api.check(lib.uhd_subdev_spec_make(
+                C.byref(spec), self.subdev.encode()), "make subdev spec")
+            api.check(lib.uhd_usrp_set_rx_subdev_spec(usrp, spec, 0),
+                      "set subdev spec")
+            for ch in (0, 1):
+                api.check(lib.uhd_usrp_set_rx_antenna(
+                    usrp, self.antenna[ch].encode(), ch), "set antenna")
+            api.check(lib.uhd_usrp_set_rx_rate(usrp, self.fs, 0),
+                      "set rate ch0")
+            api.check(lib.uhd_usrp_set_rx_rate(usrp, self.fs, 1),
+                      "set rate ch1")
+            for ch in (0, 1):
+                req = U.TuneRequestT(
+                    target_freq=self.fc,
+                    rf_freq_policy=U.TUNE_REQUEST_POLICY_AUTO,
+                    dsp_freq_policy=U.TUNE_REQUEST_POLICY_AUTO)
+                res = U.TuneResultT()
+                api.check(lib.uhd_usrp_set_rx_freq(
+                    usrp, C.byref(req), ch, C.byref(res)), "set freq")
+                api.check(lib.uhd_usrp_set_rx_gain(
+                    usrp, self.gain[ch], ch, b""), "set gain")
+
+            api.check(lib.uhd_rx_streamer_make(C.byref(streamer)),
+                      "make rx streamer")
+            channels = (C.c_size_t * 2)(0, 1)
+            args = U.StreamArgsT(
+                cpu_format=self.HOST_FORMAT.encode(),
+                otw_format=self.WIRE_FORMAT.encode(),
+                args=b"", channel_list=channels, n_channels=2)
+            api.check(lib.uhd_usrp_get_rx_stream(
+                usrp, C.byref(args), streamer), "get rx stream")
+
+            max_samps = C.c_size_t(0)
+            api.check(lib.uhd_rx_streamer_max_num_samps(
+                streamer, C.byref(max_samps)), "max_num_samps")
+            samps = int(max_samps.value) or 4096
+
+            # Timed start +50 ms aligns both channels (`Usrp.cpp:71-73`).
+            full = C.c_int64(0)
+            frac = C.c_double(0.0)
+            api.check(lib.uhd_usrp_get_time_now(
+                usrp, 0, C.byref(full), C.byref(frac)), "get_time_now")
+            t = full.value + frac.value + self.STREAM_START_DELAY_S
+            cmd = U.StreamCmdT(
+                stream_mode=U.STREAM_MODE_START_CONTINUOUS,
+                num_samps=0, stream_now=False,
+                time_spec_full_secs=int(t), time_spec_frac_secs=t - int(t))
+            api.check(lib.uhd_rx_streamer_issue_stream_cmd(
+                streamer, C.byref(cmd)), "issue stream cmd")
+            streaming = True
+
+            api.check(lib.uhd_rx_metadata_make(C.byref(meta)),
+                      "make metadata")
+
+            buf1 = np.empty(samps, dtype=np.complex64)
+            buf2 = np.empty(samps, dtype=np.complex64)
+            ptrs = (C.c_void_p * 2)(
+                buf1.ctypes.data_as(C.c_void_p).value,
+                buf2.ctypes.data_as(C.c_void_p).value)
+            received = C.c_size_t(0)
             while not self.stopped:
                 api.check(lib.uhd_rx_streamer_recv(
                     streamer, ptrs, samps, C.byref(meta), 3.0, False,
@@ -358,16 +401,19 @@ class UsrpSource(Source):
                 buffer2.push(buf2[:n].copy())
                 self.record(buf1[:n], buf2[:n])
         finally:
-            stop = U.StreamCmdT(stream_mode=U.STREAM_MODE_STOP_CONTINUOUS,
-                                stream_now=True)
-            lib.uhd_rx_streamer_issue_stream_cmd(streamer, C.byref(stop))
+            if streaming:
+                stop = U.StreamCmdT(
+                    stream_mode=U.STREAM_MODE_STOP_CONTINUOUS,
+                    stream_now=True)
+                lib.uhd_rx_streamer_issue_stream_cmd(streamer, C.byref(stop))
             for free_fn, handle in (("uhd_rx_metadata_free", meta),
                                     ("uhd_rx_streamer_free", streamer),
                                     ("uhd_subdev_spec_free", spec)):
                 fn = getattr(lib, free_fn, None)
-                if fn is not None:
+                if fn is not None and handle:
                     fn(C.byref(handle))
-            lib.uhd_usrp_free(C.byref(usrp))
+            if usrp:
+                lib.uhd_usrp_free(C.byref(usrp))
 
 
 class HackRfSource(Source):
@@ -436,19 +482,32 @@ class HackRfSource(Source):
         self._api = H.HackrfApi(lib=self._lib)
         lib = self._api.lib
         self._api.check(lib.hackrf_init(), "Failed to initialise HackRF")
-        dl = lib.hackrf_device_list()
-        count = dl.contents.devicecount if dl else 0
-        if count < 2:
-            raise H.HackrfError("Failed to find 2 HackRF devices.")
-        # Surveillance first: its CLKOUT clocks the reference unit
-        # (`HackRf.cpp:64-96`).
-        self._setup_device(1)
-        self._setup_device(0)
+        try:
+            dl = lib.hackrf_device_list()
+            count = dl.contents.devicecount if dl else 0
+            if count < 2:
+                raise H.HackrfError("Failed to find 2 HackRF devices.")
+            # Surveillance first: its CLKOUT clocks the reference unit
+            # (`HackRf.cpp:64-96`).
+            self._setup_device(1)
+            self._setup_device(0)
+        except Exception:
+            # A partial setup (e.g. unit 1 opened, unit 0 missing) must
+            # close whatever opened and exit the library, or the claimed
+            # unit blocks every retry.
+            for d in self._dev:
+                if d:
+                    lib.hackrf_close(d)
+            self._dev = [C.c_void_p(), C.c_void_p()]
+            lib.hackrf_exit()
+            raise
 
-    def _make_callback(self, ring):
+    def _make_callback(self, ring, chan: int):
         """Per-channel rx callback: int8 interleaved IQ → complex block
         (`HackRf.cpp:107-133`, vectorized). Uses valid_length (the filled
-        size) where the reference reads buffer_length — intentional."""
+        size) where the reference reads buffer_length — intentional.
+        ``chan`` routes the block to the paired recorder (each unit
+        streams from its own vendor thread)."""
         from blah2_tpu.capture.vendor import hackrf as H
 
         def cb(transfer_ptr):
@@ -458,8 +517,9 @@ class HackRfSource(Source):
                 return 0
             raw = np.ctypeslib.as_array(tr.buffer, (n,))
             block = (raw[0::2].astype(np.float32)
-                     + 1j * raw[1::2].astype(np.float32))
-            ring.push(block.astype(np.complex64))
+                     + 1j * raw[1::2].astype(np.float32)).astype(np.complex64)
+            ring.push(block)
+            self.record_channel(chan, block)
             return 0
 
         fn = H.RxCallback(cb)
@@ -473,10 +533,10 @@ class HackRfSource(Source):
             self.start()
         lib = self._api.lib
         self._api.check(lib.hackrf_start_rx(
-            self._dev[1], self._make_callback(buffer2), None),
+            self._dev[1], self._make_callback(buffer2, 1), None),
             "Failed to start RX streaming.")
         self._api.check(lib.hackrf_start_rx(
-            self._dev[0], self._make_callback(buffer1), None),
+            self._dev[0], self._make_callback(buffer1, 0), None),
             "Failed to start RX streaming.")
         try:
             while not self.stopped:
@@ -533,32 +593,45 @@ class KrakenSource(Source):
         probe = C.c_void_p()
         self._api.check(lib.rtlsdr_open(C.byref(probe), 0),
                         "Failed to open device for available gains.")
-        valid = self._api.tuner_gains(probe)
-        self._api.check(lib.rtlsdr_close(probe),
-                        "Failed to close device for available gains.")
+        try:
+            valid = self._api.tuner_gains(probe)
+        finally:
+            self._api.check(lib.rtlsdr_close(probe),
+                            "Failed to close device for available gains.")
         self.gain = self.round_gains(self.requested_gain, valid)
 
-        for i in range(2):
-            self._api.check(lib.rtlsdr_open(C.byref(self._devs[i]), i),
-                            "Failed to open device.")
-            d = self._devs[i]
-            self._api.check(lib.rtlsdr_set_center_freq(d, int(self.fc)),
-                            "Failed to set center frequency.")
-            self._api.check(lib.rtlsdr_set_sample_rate(d, int(self.fs)),
-                            "Failed to set sample rate.")
-            self._api.check(lib.rtlsdr_set_dithering(d, 0),
-                            "Failed to disable dithering.")
-            self._api.check(lib.rtlsdr_set_tuner_gain_mode(d, 1),
-                            "Failed to disable AGC.")
-            self._api.check(lib.rtlsdr_set_tuner_gain(d, self.gain[i]),
-                            "Failed to set gain.")
-            self._api.check(lib.rtlsdr_reset_buffer(d),
-                            "Failed to reset buffer.")
+        try:
+            for i in range(2):
+                self._api.check(lib.rtlsdr_open(C.byref(self._devs[i]), i),
+                                "Failed to open device.")
+                d = self._devs[i]
+                self._api.check(lib.rtlsdr_set_center_freq(d, int(self.fc)),
+                                "Failed to set center frequency.")
+                self._api.check(lib.rtlsdr_set_sample_rate(d, int(self.fs)),
+                                "Failed to set sample rate.")
+                self._api.check(lib.rtlsdr_set_dithering(d, 0),
+                                "Failed to disable dithering.")
+                self._api.check(lib.rtlsdr_set_tuner_gain_mode(d, 1),
+                                "Failed to disable AGC.")
+                self._api.check(lib.rtlsdr_set_tuner_gain(d, self.gain[i]),
+                                "Failed to set gain.")
+                self._api.check(lib.rtlsdr_reset_buffer(d),
+                                "Failed to reset buffer.")
+        except Exception:
+            # Close any channel already opened so a config failure on
+            # channel 1 does not leave channel 0 claimed.
+            for d in self._devs:
+                if d:
+                    lib.rtlsdr_close(d)
+            self._devs = [C.c_void_p(), C.c_void_p()]
+            raise
 
-    def _make_callback(self, ring):
+    def _make_callback(self, ring, chan: int):
         """uint8 interleaved IQ → complex block. The reference casts the
         raw bytes to int8 (`Kraken.cpp:101-108`), keeping rtlsdr's
-        offset-127 encoding as a DC offset; mirrored here."""
+        offset-127 encoding as a DC offset; mirrored here. ``chan``
+        routes the block to the paired recorder (each tuner reads from
+        its own async thread)."""
         from blah2_tpu.capture.vendor import rtlsdr as R
 
         def cb(buf, length, ctx):
@@ -567,8 +640,9 @@ class KrakenSource(Source):
                 return
             raw = np.ctypeslib.as_array(buf, (n,)).astype(np.int8)
             block = (raw[0::2].astype(np.float32)
-                     + 1j * raw[1::2].astype(np.float32))
-            ring.push(block.astype(np.complex64))
+                     + 1j * raw[1::2].astype(np.float32)).astype(np.complex64)
+            ring.push(block)
+            self.record_channel(chan, block)
 
         fn = R.ReadAsyncCallback(cb)
         self._callbacks.append(fn)
@@ -581,9 +655,9 @@ class KrakenSource(Source):
             self.start()
         lib = self._api.lib
         threads = []
-        for dev, ring in ((self._devs[0], buffer1),
-                          (self._devs[1], buffer2)):
-            cb = self._make_callback(ring)
+        for chan, (dev, ring) in enumerate(((self._devs[0], buffer1),
+                                            (self._devs[1], buffer2))):
+            cb = self._make_callback(ring, chan)
             t = threading.Thread(
                 target=lib.rtlsdr_read_async,
                 args=(dev, cb, None, 0, self.READ_ASYNC_BUF_LEN),

@@ -20,6 +20,13 @@ import numpy as np
 
 
 class Source:
+    #: Multiplier applied to samples before the int16-quad cast in
+    #: :meth:`record`. Sources whose samples already are integer ADC
+    #: counts (RspDuo shorts, HackRF/Kraken int8) keep 1.0; float-valued
+    #: sources (USRP fc32 in [-1, 1], Synthetic unit-variance) must scale
+    #: up or the unscaled cast quantises everything to {-1, 0, 1}.
+    record_scale: float = 1.0
+
     def __init__(self, type_name: str, fs: float, fc: float,
                  path: Optional[str] = None):
         self.type_name = type_name
@@ -29,6 +36,9 @@ class Source:
         self.stopped = False
         self._record_file = None
         self._record_lock = threading.Lock()
+        # Per-channel pending blocks for record_channel (devices whose two
+        # channels stream from independent vendor threads).
+        self._record_pending: list = [[], []]
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> None:
@@ -61,6 +71,7 @@ class Source:
             if self._record_file is not None:
                 self._record_file.close()
             self._record_file = open(filename, "ab")
+            self._record_pending = [[], []]
         return filename
 
     def close_record_file(self) -> None:
@@ -68,22 +79,61 @@ class Source:
             if self._record_file is not None:
                 self._record_file.close()
                 self._record_file = None
+            # Unpaired per-channel tails must not leak into the next
+            # recording session (record_channel).
+            self._record_pending = [[], []]
 
     @property
     def recording(self) -> bool:
         return self._record_file is not None
+
+    def _write_quads(self, ch1: np.ndarray, ch2: np.ndarray) -> None:
+        """Append paired samples as interleaved int16 quads (record lock
+        held). ``record_scale`` maps the source's sample range onto ADC
+        counts before the cast."""
+        n = min(len(ch1), len(ch2))
+        s = self.record_scale
+
+        def counts(v):
+            return np.clip(v * s if s != 1.0 else v,
+                           -32768, 32767).astype(np.int16)
+
+        quads = np.empty((n, 4), dtype=np.int16)
+        quads[:, 0] = counts(np.real(ch1[:n]))
+        quads[:, 1] = counts(np.imag(ch1[:n]))
+        quads[:, 2] = counts(np.real(ch2[:n]))
+        quads[:, 3] = counts(np.imag(ch2[:n]))
+        quads.tofile(self._record_file)
 
     def record(self, ch1: np.ndarray, ch2: np.ndarray) -> None:
         """Append a 2-channel block as interleaved int16 quads."""
         with self._record_lock:
             if self._record_file is None:
                 return
-            n = min(len(ch1), len(ch2))
-            quads = np.empty((n, 4), dtype=np.int16)
-            quads[:, 0] = np.clip(np.real(ch1[:n]), -32768, 32767).astype(np.int16)
-            quads[:, 1] = np.clip(np.imag(ch1[:n]), -32768, 32767).astype(np.int16)
-            quads[:, 2] = np.clip(np.real(ch2[:n]), -32768, 32767).astype(np.int16)
-            quads[:, 3] = np.clip(np.imag(ch2[:n]), -32768, 32767).astype(np.int16)
-            quads.tofile(self._record_file)
+            self._write_quads(ch1, ch2)
+
+    def record_channel(self, idx: int, block: np.ndarray) -> None:
+        """Record from per-channel vendor callbacks (HackRF/Kraken stream
+        each channel from its own thread): blocks are buffered per channel
+        and flushed as paired quads once both channels cover the samples.
+        Pending blocks are dropped when recording is off so a toggle
+        cannot pair stale history with fresh samples."""
+        with self._record_lock:
+            if self._record_file is None:
+                if self._record_pending[0] or self._record_pending[1]:
+                    self._record_pending = [[], []]
+                return
+            self._record_pending[idx].append(np.asarray(block))
+            n = min(sum(len(b) for b in self._record_pending[0]),
+                    sum(len(b) for b in self._record_pending[1]))
+            if n == 0:
+                return
+            chans = []
+            for c in (0, 1):
+                cat = np.concatenate(self._record_pending[c])
+                chans.append(cat[:n])
+                rest = cat[n:]
+                self._record_pending[c] = [rest] if len(rest) else []
+            self._write_quads(chans[0], chans[1])
 
 

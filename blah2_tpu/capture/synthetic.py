@@ -70,6 +70,12 @@ class SyntheticSource(Source):
     sees decohered targets (a round-1 bug that surfaced as order-dependent
     runtime-test failures)."""
 
+    #: Synthetic samples are unit-variance floats; map them onto a
+    #: plausible ADC scale for the int16-quad record format (an unscaled
+    #: cast would truncate the stream to {-1, 0, 1} — see
+    #: Source.record_scale).
+    record_scale = 1024.0
+
     def __init__(
         self,
         fs: float,

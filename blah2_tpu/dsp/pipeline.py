@@ -292,19 +292,11 @@ class CpiPipeline:
             fn = self._fn_raw
 
             def fnc(xc, yc):
-                def cat(chunks):
-                    parts = []
-                    for ch in chunks:
-                        if ch.dtype == jnp.uint8:
-                            # Packed-12-bit chunk (ops.pack12): unpack to
-                            # int planes on device.
-                            from blah2_tpu.ops.pack12 import unpack12
+                from blah2_tpu.ops.pack12 import unpack_planes
 
-                            v = unpack12(ch, (ch.size * 2) // 3)
-                            parts.append(v.reshape(-1, 2))
-                        else:
-                            parts.append(ch)
-                    return jnp.concatenate(parts, axis=0)
+                def cat(chunks):
+                    return jnp.concatenate(
+                        [unpack_planes(ch) for ch in chunks], axis=0)
 
                 return fn(cat(xc), cat(yc))
 
@@ -320,23 +312,31 @@ class CpiPipeline:
         :class:`blah2_tpu.data.timing.StageTimer` receiving ``stage()``
         calls with the reference names.
         """
+        import numpy as np
+
         xp = self.to_planes(x, self._plane_dtype)
         yp = self.to_planes(y, self._plane_dtype)
 
-        def mark(name, *leaves):
-            for leaf in leaves:
-                jax.block_until_ready(leaf)
+        def mark(name, leaf):
+            # Force true completion of the stage's program by fetching a
+            # SMALL output of it: block_until_ready returns before
+            # execution finishes on some remote TPU transports, which
+            # would time only async dispatch. Fetching any output forces
+            # the whole program; ``leaf`` is chosen tiny (a scalar or a
+            # short vector) so the fetch itself costs one round trip, not
+            # a product transfer. Skipped when not timing.
             if timer is not None:
+                np.asarray(leaf)
                 timer.stage(name)
 
         spec_db = self.stage_spectrum(xp)
         mark("spectrum", spec_db)
         xc, yc, clutter_ok = self.stage_clutter(xp, yp)
-        mark("clutter_filter", yc)
+        mark("clutter_filter", clutter_ok)
         z, db, noise, max_power = self.stage_ambiguity(xc, yc)
-        mark("ambiguity_processing", db)
+        mark("ambiguity_processing", noise)
         det = self.stage_detect(z, db, noise)
-        mark("detector", det.valid)
+        mark("detector", det.count)
         return CpiOutputs(
             db_map=db, noise_power=noise, max_power=max_power,
             spectrum_db=spec_db, clutter_ok=clutter_ok, detections=det,

@@ -58,6 +58,19 @@ def unpack12(packed: jnp.ndarray, n_values: int) -> jnp.ndarray:
     return u[:n_values] - OFFSET
 
 
+def unpack_planes(chunk: jnp.ndarray) -> jnp.ndarray:
+    """Decode one wire chunk to ``(m, 2)`` real/imag planes.
+
+    The single definition of the chunked wire format's decode rule (used
+    by the fused chunk program, the runtime's staged-sample path, and the
+    tests): packed-12-bit uint8 chunks unpack on device; int/float plane
+    chunks pass through unchanged. Traceable under jit.
+    """
+    if chunk.dtype == jnp.uint8:
+        return unpack12(chunk, (chunk.size * 2) // 3).reshape(-1, 2)
+    return chunk
+
+
 def unpack12_np(packed: np.ndarray, n_values: int) -> np.ndarray:
     """NumPy reference unpack (tests, host-side tooling)."""
     b = np.asarray(packed, dtype=np.uint32).reshape(-1, 3)

@@ -38,6 +38,13 @@ def main(argv=None) -> int:
     parser.add_argument("--staged-timing", action="store_true",
                         help="time each DSP stage separately (fills all "
                              "reference timing keys; adds sync barriers)")
+    parser.add_argument("--staged-sample-every", type=int, default=16,
+                        metavar="N",
+                        help="refresh the fused path's per-stage timing "
+                             "split with a staged sample every N CPIs "
+                             "(0 disables — use on transports where the "
+                             "extra staged compiles are too slow; "
+                             "default 16)")
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace for the first CPIs "
                              "to this directory")
@@ -116,6 +123,7 @@ def main(argv=None) -> int:
     runtime = RadarRuntime(config, api_server=api_server,
                            use_tcp_egress=args.tcp_egress,
                            staged_timing=args.staged_timing,
+                           staged_sample_every=args.staged_sample_every,
                            ingest_chunks=args.ingest_chunks,
                            mesh=mesh, halo_backend=args.halo_backend)
     runtime.install_signal_handlers()

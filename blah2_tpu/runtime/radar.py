@@ -55,6 +55,7 @@ class RadarRuntime:
         mesh=None,
         halo_backend: str = "ppermute",
         staged_sample_every: int = 16,
+        staged_warmup: str = "async",
     ):
         """``api_server``: an ApiServer for in-process publishing; when
         ``use_tcp_egress`` the products are instead sent over the six TCP
@@ -99,7 +100,21 @@ class RadarRuntime:
         # clutter_filter / ambiguity_processing / detector like
         # `src/blah2.cpp:261-345` without per-CPI sync barriers. 0 disables
         # sampling (single ambiguity_processing key, round-1 behavior).
+        # The staged programs compile in a background warmup thread
+        # (_start_staged_warmup) so the product stream never stalls
+        # behind their compile time.
         self.staged_sample_every = max(0, int(staged_sample_every))
+        # "async" (production): the staged programs compile in a
+        # background thread started on CPI 0 and sampling begins once
+        # they are warm; "sync": compile inline on the first sample CPI
+        # (deterministic for tests; stalls the stream for the compile).
+        if staged_warmup not in ("async", "sync"):
+            raise ValueError(
+                f"staged_warmup must be 'async' or 'sync', "
+                f"got {staged_warmup!r}")
+        self.staged_warmup = staged_warmup
+        self._staged_ready = threading.Event()
+        self._staged_warmup_thread: Optional[threading.Thread] = None
         self._stage_fractions: Optional[dict] = None
         amb = self.pipeline.ambiguity
         self.sharded = None
@@ -254,6 +269,16 @@ class RadarRuntime:
         self.capture.stop()
         self.buffer1.close()
         self.buffer2.close()
+        # Drain the staged-warmup thread: it bails at the next stage
+        # boundary, but an in-flight XLA compile must finish before the
+        # interpreter may exit (native teardown under a live compile
+        # aborts the process).
+        t = self._staged_warmup_thread
+        if t is not None and t is not threading.current_thread() \
+                and t.is_alive():
+            print("[timing] waiting for the staged-timing warmup compile "
+                  "to finish...", flush=True)
+            t.join()
 
     # -- the CPI loop --------------------------------------------------------
     DEVICE_STAGES = ("spectrum", "clutter_filter", "ambiguity_processing",
@@ -289,9 +314,79 @@ class RadarRuntime:
                 self._pack12_ok = False
         return p
 
+    def _staged_warm_planes(self) -> np.ndarray:
+        """Zero planes in the dtype/shape the staged programs will see,
+        so the warmup compiles the same executables the samples use."""
+        if self.ingest_chunks > 1 and self._wire_dtype is not None:
+            # Chunked staged samples receive cat_planes output: unpack12
+            # yields int32 planes on the packed path, otherwise the wire
+            # dtype passes through.
+            dt = np.int32 if (self._pack12_ok and
+                              self._wire_dtype == np.int16) \
+                else self._wire_dtype
+        else:
+            # Unchunked staged samples go through to_planes of the host
+            # complex window: float planes.
+            dt = np.dtype(self.pipeline._plane_dtype)
+        return np.zeros((self.n_samples, 2), dtype=dt)
+
+    def _start_staged_warmup(self) -> None:
+        """Compile the four staged-timing programs OFF the hot path.
+
+        Compiling them lazily on the first sample CPI would stall the
+        product stream for the compile time (minutes on remote
+        transports — long enough to trip the reference's 60 s watchdog
+        staleness bound, `script/blah2_rspduo_restart.bash:8-11`).
+        Instead the first sample CPI starts this warmup; staged sampling
+        begins at the first scheduled CPI after it completes, and fused
+        CPIs keep flowing meanwhile (reporting their wall under
+        ambiguity_processing until fractions exist)."""
+        def warm():
+            try:
+                import jax
+
+                p = self.pipeline
+                xp = self._staged_warm_planes()
+                # Bail between stage compiles on shutdown: a compile
+                # cannot be interrupted, but the next one need not start.
+                # (The thread is non-daemon and joined in stop() — a
+                # daemon thread still inside XLA at interpreter exit
+                # aborts the process in native teardown.)
+                if self._stop.is_set():
+                    return
+                spec = p.stage_spectrum(xp)
+                if self._stop.is_set():
+                    return
+                xc, yc, ok = p.stage_clutter(xp, xp)
+                if self._stop.is_set():
+                    return
+                z, db, noise, mp = p.stage_ambiguity(xc, yc)
+                if self._stop.is_set():
+                    return
+                det = p.stage_detect(z, db, noise)
+                jax.block_until_ready((spec, ok, noise, det.count))
+            except Exception as e:  # never take down the CPI loop
+                print(f"[timing] staged warmup failed: {e}", flush=True)
+            finally:
+                self._staged_ready.set()
+
+        if self.staged_warmup == "sync":
+            warm()
+            self._staged_warmup_thread = threading.current_thread()
+        else:
+            self._staged_warmup_thread = threading.Thread(
+                target=warm, daemon=False, name="staged-warmup")
+            self._staged_warmup_thread.start()
+
     def _is_sample_cpi(self) -> bool:
-        return (self.staged_sample_every > 0 and
-                self.n_cpis_done % self.staged_sample_every == 0)
+        if self.staged_sample_every <= 0:
+            return False
+        if not self._staged_ready.is_set():
+            if self._staged_warmup_thread is None:
+                self._start_staged_warmup()
+            if not self._staged_ready.is_set():
+                return False
+        return self.n_cpis_done % self.staged_sample_every == 0
 
     def _run_staged_sample(self, x, y):
         """Run the staged pipeline once, install the measured per-stage
@@ -367,16 +462,10 @@ class RadarRuntime:
         t0 = timestamp_ms if timestamp_ms is not None else _now_ms()
 
         def cat_planes(chunks):
-            parts = []
-            for ch in chunks:
-                if ch.dtype == jnp.uint8:  # packed-12-bit chunk
-                    from blah2_tpu.ops.pack12 import unpack12
+            from blah2_tpu.ops.pack12 import unpack_planes
 
-                    parts.append(unpack12(
-                        ch, (ch.size * 2) // 3).reshape(-1, 2))
-                else:
-                    parts.append(ch)
-            return jnp.concatenate(parts, axis=0)
+            return jnp.concatenate(
+                [unpack_planes(ch) for ch in chunks], axis=0)
 
         if self._is_sample_cpi():
             out = self._run_staged_sample(cat_planes(x_chunks),

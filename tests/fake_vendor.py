@@ -42,15 +42,18 @@ class SceneStreamer:
     """
 
     def __init__(self, fs, targets, clutter=2.0, noise=1e-3,
-                 block_samples=12_500, scale=2000.0, seed=1):
+                 block_samples=12_500, scale=2000.0, seed=1,
+                 n_consumers=2):
         self.src = SyntheticSource(
             fs, 100e6, [TargetSpec(*t) for t in targets],
             clutter_amplitude=clutter, noise_amplitude=noise,
             block_samples=block_samples, seed=seed)
         self.scale = scale
+        self.n_consumers = n_consumers
         self._lock = threading.Lock()
-        self._blocks = []       # shared history of count blocks
-        self._cursor = {}       # consumer key → next block index
+        self._blocks = []       # window of count blocks (see _base)
+        self._base = 0          # global index of _blocks[0]
+        self._cursor = {}       # consumer key → next global block index
 
     def _counts(self, x, y):
         def to16(v):
@@ -68,11 +71,19 @@ class SceneStreamer:
         """Per-consumer cursor path (independent channel threads)."""
         with self._lock:
             idx = self._cursor.get(key, 0)
-            while idx >= len(self._blocks):
+            while idx - self._base >= len(self._blocks):
                 self._blocks.append(self._counts(*self.src.next_block()))
             self._cursor[key] = idx + 1
-            # Bound history: drop blocks every cursor has passed.
-            return self._blocks[idx]
+            block = self._blocks[idx - self._base]
+            # Bound history: once every expected consumer has registered,
+            # drop blocks every cursor has passed (a late-starting
+            # consumer before that point must still see block 0).
+            if len(self._cursor) >= self.n_consumers:
+                low = min(self._cursor.values())
+                if low > self._base:
+                    del self._blocks[: low - self._base]
+                    self._base = low
+            return block
 
 
 class FakeSdrplay:

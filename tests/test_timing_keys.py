@@ -21,6 +21,10 @@ REF_KEYS = ("extract_buffer", "spectrum", "clutter_filter",
 
 def _run(n_cpis, **kw):
     cfg = load_config(CONFIG)
+    # Sync warmup: compile the staged programs inline so sampling CPIs
+    # are deterministic for the assertions (production default is a
+    # background warmup — see test_async_warmup_keeps_stream_flowing).
+    kw.setdefault("staged_warmup", "sync")
     rt = RadarRuntime(cfg, **kw)
     timings = []
     orig = rt._emit
@@ -47,13 +51,14 @@ def test_fused_path_fills_all_reference_keys_every_cpi():
             assert key in doc, key
             assert doc[key] >= 0.0
     # CPI 0 is the staged sample (real measurements); CPIs 1-3 are fused
-    # with the split apportioned — they must sum to a positive device wall
-    # and preserve relative stage structure (ambiguity dominates).
+    # with the split apportioned — every device stage key must carry a
+    # positive share of a positive device wall. (No ordering assertions:
+    # at this CPU-fast geometry the stage walls are ~ms and their
+    # relative order is host-load-dependent.)
     fused = timings[2]
-    dev = sum(fused[k] for k in ("spectrum", "clutter_filter",
-                                 "ambiguity_processing", "detector"))
-    assert dev > 0.0
-    assert fused["ambiguity_processing"] >= fused["spectrum"]
+    for k in ("spectrum", "clutter_filter", "ambiguity_processing",
+              "detector"):
+        assert fused[k] > 0.0, k
 
 
 def test_sampling_disabled_keeps_single_device_key():
@@ -68,6 +73,25 @@ def test_fractions_refresh_and_products_unaffected():
     # CPIs 0 and 2 staged, CPI 1 apportioned; fractions cached.
     assert rt._stage_fractions is not None
     assert abs(sum(rt._stage_fractions.values()) - 1.0) < 1e-6
+
+
+def test_async_warmup_keeps_stream_flowing():
+    """Production default: the staged programs compile in a background
+    thread; every CPI still emits a complete timing product meanwhile
+    (wall under ambiguity_processing until fractions exist), and sampling
+    begins only once warm — the first product is never stalled behind the
+    staged compiles (which take minutes on remote transports)."""
+    rt, timings = _run(3, staged_sample_every=1, staged_warmup="async")
+    assert len(timings) == 3
+    for doc in timings:
+        for key in REF_KEYS:
+            assert key in doc, key
+    # The warmup thread was started (CPI 0 checked the schedule)...
+    assert rt._staged_warmup_thread is not None
+    rt._staged_warmup_thread.join(timeout=120.0)
+    assert rt._staged_ready.is_set()
+    # ...and once ready, the schedule resumes (every=1 -> next CPI samples).
+    assert rt._is_sample_cpi()
 
 
 def test_mesh_mode_reports_real_extract_and_true_latency():
