@@ -20,6 +20,9 @@ Comparisons:
               (`HammingNumber.cpp:38-48`) vs the TPU-fast size
               (`next_tpu_fft_size`: large power-of-2 factor) — the ~10x
               TPU FFT cliff that motivates padding the compute size.
+  cfar        cell-averaging CFAR (the reference's `CfarDetector1D`) vs
+              ordered-statistics CFAR (`dsp/cfar.py::OsCfarDetector`,
+              interferer-robust) on the same delay-Doppler map.
   ingest      one CPI crossing the host->device boundary as a single int16
               quad transfer vs chunked streaming blocks
               (`CpiPipeline.call_quad` vs `call_chunks`).
@@ -168,6 +171,49 @@ def main(argv=None) -> None:
         },
     })
 
+    # -- CFAR algorithm: cell-averaging vs ordered-statistics -------------
+    # The reference ships CA only (`CfarDetector1D.cpp`); OS-CFAR (dsp.cfar
+    # .OsCfarDetector) trades a small sort cost for robustness to
+    # interfering targets inside the train window. Same map, same geometry
+    # masks — detection sets directly comparable.
+    from blah2_tpu.dsp.ambiguity import map_metrics
+    from blah2_tpu.dsp.cfar import CfarDetector, OsCfarDetector
+
+    pipe0 = pipes["xla_ops"]
+    amb = pipe0.ambiguity
+    d = proc["detection"]
+    common = dict(pfa=d["pfa"], n_guard=d["nGuard"], n_train=d["nTrain"],
+                  min_delay=d["minDelay"], min_doppler=d["minDoppler"],
+                  delay_axis=amb.delay_axis, doppler_axis=amb.doppler_axis)
+    zfn = jax.jit(lambda a, b: amb(jax.lax.complex(a[:, 0], a[:, 1]),
+                                   jax.lax.complex(b[:, 0], b[:, 1])))
+    z = zfn(xp, yp)
+    _, noisez, _ = jax.jit(map_metrics)(z)
+    np.asarray(noisez)
+    variants = []
+    cells = {}
+    for name, det in (("ca_cfar", CfarDetector(**common)),
+                      ("os_cfar_rank0.75",
+                       OsCfarDetector(rank=0.75, **common))):
+        run = jax.jit(lambda zz, nn, dd=det: dd(zz, nn))
+        out = run(z, noisez)
+        v = np.asarray(out.valid)
+        cells[name] = set(zip(np.asarray(out.row)[v].tolist(),
+                              np.asarray(out.col)[v].tolist()))
+        wall = _best_ms(lambda: np.asarray(run(z, noisez).count), reps)
+        variants.append({"name": name, "wall_ms": round(wall, 2),
+                         "n_detections": int(v.sum())})
+    both = cells["ca_cfar"] & cells["os_cfar_rank0.75"]
+    results.append({
+        "comparison": "cfar_algorithm",
+        "variants": variants,
+        "agreement": {
+            "common_cells": len(both),
+            "only_ca": len(cells["ca_cfar"] - both),
+            "only_os": len(cells["os_cfar_rank0.75"] - both),
+        },
+    })
+
     # -- fft size: Hamming-rounded vs TPU-fast ---------------------------
     n_corr = pipes["pallas_fused"].ambiguity.n_corr
     n_batch = pipes["pallas_fused"].ambiguity.n_doppler_bins
@@ -179,10 +225,12 @@ def main(argv=None) -> None:
     jax.block_until_ready(pd)
     variants = []
     for name, size in (("hamming", nfft_ham), ("tpu_fast", nfft_tpu)):
-        run = jax.jit(lambda a, s=size: jnp.fft.fft(
-            jax.lax.complex(a[..., 0], a[..., 1]), n=s, axis=-1))
-        np.asarray(run(pd)[0, 0])
-        wall = _best_ms(lambda: np.asarray(run(pd)[0, 0]), reps)
+        # Force completion with a real scalar reduction: a complex element
+        # cannot cross the device->host boundary on all transports.
+        run = jax.jit(lambda a, s=size: jnp.sum(jnp.abs(jnp.fft.fft(
+            jax.lax.complex(a[..., 0], a[..., 1]), n=s, axis=-1)) ** 2))
+        np.asarray(run(pd))
+        wall = _best_ms(lambda: np.asarray(run(pd)), reps)
         variants.append({"name": name, "nfft": int(size),
                          "wall_ms": round(wall, 2)})
     results.append({

@@ -68,6 +68,13 @@ class DetectionConfig:
     min_delay: int = 5
     min_doppler: float = 15.0
     n_centroid: int = 6
+    #: CFAR algorithm: "ca" (cell-averaging, the reference's
+    #: `CfarDetector1D`) or "os" (ordered-statistics, comparison tier —
+    #: robust to interfering targets in the train window).
+    cfar: str = "ca"
+    #: OS-CFAR order-statistic rank as a fraction of the train count
+    #: (Rohling's k = 3N/4 default).
+    os_rank: float = 0.75
 
 
 @dataclasses.dataclass
@@ -200,6 +207,8 @@ def config_from_dict(doc: Dict[str, Any]) -> Config:
         min_delay=int(det.get("minDelay", 5)),
         min_doppler=float(det.get("minDoppler", 15.0)),
         n_centroid=int(det.get("nCentroid", 6)),
+        cfar=str(det.get("cfar", "ca")),
+        os_rank=float(det.get("osRank", 0.75)),
     )
     spec = proc.get("spectrum", {}) or {}
     cfg.process.spectrum = SpectrumConfig(

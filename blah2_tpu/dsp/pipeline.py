@@ -102,16 +102,15 @@ class CpiPipeline:
         self.use_pallas = bool(use_pallas)
         self.fused_detector = None
         if self.detection_enabled:
-            self.cfar = CfarDetector(
-                proc.detection.pfa,
-                proc.detection.n_guard,
-                proc.detection.n_train,
-                proc.detection.min_delay,
-                proc.detection.min_doppler,
-                self.ambiguity.delay_axis,
-                self.ambiguity.doppler_axis,
-                max_detections=max_detections,
-            )
+            from blah2_tpu.dsp.cfar import make_cfar
+
+            # CFAR selection via config (ca | os); "ca" is the reference
+            # algorithm (`CfarDetector1D.cpp`). The fused Pallas detection
+            # kernel implements CA; OS-CFAR runs the XLA chain (its sort
+            # fuses well there).
+            self.cfar = make_cfar(
+                proc.detection, self.ambiguity.delay_axis,
+                self.ambiguity.doppler_axis, max_detections=max_detections)
             # Centroid Doppler window uses the *configured* CPI (1/tCpi), as in
             # `src/blah2.cpp:186`; interpolation uses the map's true-CPI
             # Doppler resolution (axis spacing, `Interpolate.cpp:81`).
@@ -127,7 +126,7 @@ class CpiPipeline:
                 self.ambiguity.n_doppler_bins,
                 self.ambiguity.n_delay_bins,
             )
-            if self.use_pallas:
+            if self.use_pallas and isinstance(self.cfar, CfarDetector):
                 from blah2_tpu.ops.pallas_detect import FusedDetector
 
                 self.fused_detector = FusedDetector.from_config(

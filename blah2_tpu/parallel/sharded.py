@@ -46,7 +46,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from blah2_tpu.config import Config
 from blah2_tpu.dsp.ambiguity import AmbiguityProcessor
-from blah2_tpu.dsp.cfar import CfarDetector
 from blah2_tpu.dsp.centroid import CentroidFilter
 from blah2_tpu.dsp.hamming import next_tpu_fft_size
 from blah2_tpu.dsp.interpolate import PeakInterpolator
@@ -228,12 +227,13 @@ class ShardedCpiPipeline:
 
         self.detection_enabled = proc.detection.enable
         if self.detection_enabled:
-            self.cfar = CfarDetector(
-                proc.detection.pfa, proc.detection.n_guard,
-                proc.detection.n_train, proc.detection.min_delay,
-                proc.detection.min_doppler, amb.delay_axis, amb.doppler_axis,
-                max_detections=max_detections,
-            )
+            from blah2_tpu.dsp.cfar import make_cfar
+
+            # CFAR selection via config (ca | os): both are per-Doppler-row
+            # delay-window detectors, so they row-shard identically.
+            self.cfar = make_cfar(
+                proc.detection, amb.delay_axis, amb.doppler_axis,
+                max_detections=max_detections)
             self.centroid = CentroidFilter(
                 proc.detection.n_centroid, proc.detection.n_centroid,
                 1.0 / proc.data.cpi,

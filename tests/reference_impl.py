@@ -126,3 +126,43 @@ def cfar_reference(z, delay_axis, doppler_axis, noise_power, pfa, n_guard,
                 out_doppler.append(doppler_axis[i])
                 out_snr.append(row_snr[j])
     return out_delay, out_doppler, out_snr
+
+
+def os_cfar_reference(z, delay_axis, doppler_axis, noise_power, pfa,
+                      n_guard, n_train, min_delay, min_doppler, rank=0.75,
+                      alpha_fn=None):
+    """Per-cell OS-CFAR oracle: same window geometry/quirks as
+    `cfar_reference` but thresholding on the k-th smallest train power,
+    k = ceil(rank·N). ``alpha_fn(pfa, n, k)`` supplies the threshold
+    multiplier (validated independently by the Monte-Carlo Pfa test)."""
+    if alpha_fn is None:
+        from blah2_tpu.dsp.cfar import os_cfar_alpha as alpha_fn
+    z = np.asarray(z)
+    n_rows, n_cols = z.shape
+    out_delay, out_doppler, out_snr = [], [], []
+    for i in range(n_rows):
+        if abs(doppler_axis[i]) < min_doppler:
+            continue
+        row_sq = np.abs(z[i] * z[i])
+        row_snr = 10.0 * np.log10(np.abs(z[i])) - noise_power
+        for j in range(n_cols):
+            if delay_axis[j] < min_delay:
+                continue
+            train = []
+            for k in range(j - n_guard - n_train, j - n_guard):
+                if 0 < k < n_cols:
+                    train.append(k)
+            for k in range(j + n_guard + 1, j + n_guard + n_train + 1):
+                if 0 <= k < n_cols:
+                    train.append(k)
+            n_cells = len(train)
+            if n_cells == 0:
+                continue
+            kk = max(1, int(np.ceil(rank * n_cells)))
+            kth = np.sort(row_sq[train])[kk - 1]
+            threshold = alpha_fn(pfa, n_cells, kk) * kth
+            if row_sq[j] > threshold:
+                out_delay.append(j + delay_axis[0])
+                out_doppler.append(doppler_axis[i])
+                out_snr.append(row_snr[j])
+    return out_delay, out_doppler, out_snr

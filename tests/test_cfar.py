@@ -132,3 +132,118 @@ def test_interpolation_drops_boundary():
     valid = np.asarray(d2.valid)
     cols = np.asarray(d2.col)[valid]
     assert 0 not in cols and (N_COLS - 1) not in cols
+
+
+# -- OS-CFAR (comparison-tier alternative detector) --------------------------
+
+def _os_detector(**kw):
+    from blah2_tpu.dsp.cfar import OsCfarDetector
+
+    args = dict(pfa=1e-4, n_guard=2, n_train=4, min_delay=3, min_doppler=10,
+                delay_axis=DELAY_AXIS, doppler_axis=DOPPLER_AXIS,
+                max_detections=64)
+    args.update(kw)
+    return OsCfarDetector(**args)
+
+
+def test_os_alpha_monte_carlo_pfa():
+    """os_cfar_alpha solves the exact exponential-background Pfa: the
+    simulated false-alarm rate of a k-th-order-statistic threshold must
+    match the requested pfa."""
+    from blah2_tpu.dsp.cfar import os_cfar_alpha
+
+    rng = np.random.default_rng(3)
+    n, k, pfa = 8, 6, 0.05
+    alpha = os_cfar_alpha(pfa, n, k)
+    m = 400_000
+    train = rng.exponential(size=(m, n))
+    cell = rng.exponential(size=m)
+    kth = np.sort(train, axis=1)[:, k - 1]
+    rate = float(np.mean(cell > alpha * kth))
+    np.testing.assert_allclose(rate, pfa, rtol=0.08)
+
+
+def test_os_parity_vs_reference_impl():
+    from tests.reference_impl import os_cfar_reference
+
+    z = _map_with_peaks([(15, 20, 30.0), (4, 10, 25.0), (18, 35, 20.0)],
+                        seed=2)
+    _, noise, _ = map_metrics(jnp.asarray(z))
+    det = _os_detector()(jnp.asarray(z), noise)
+    valid = np.asarray(det.valid)
+    got = list(zip(np.asarray(det.delay)[valid],
+                   np.asarray(det.doppler)[valid],
+                   np.asarray(det.snr)[valid]))
+
+    want_d, want_f, want_s = os_cfar_reference(
+        z, DELAY_AXIS, DOPPLER_AXIS, float(noise),
+        pfa=1e-4, n_guard=2, n_train=4, min_delay=3, min_doppler=10)
+    want = list(zip(want_d, want_f, want_s))
+
+    assert len(got) == len(want) > 0
+    for (gd, gf, gs), (wd, wf, ws) in zip(got, want):
+        assert gd == wd
+        np.testing.assert_allclose(gf, wf, rtol=1e-5)
+        np.testing.assert_allclose(gs, ws, rtol=1e-4, atol=1e-4)
+
+
+def test_os_detects_target_ca_masks():
+    """The multi-target masking scenario OS-CFAR exists for: a strong
+    interferer inside the train window inflates CA's mean-based threshold
+    and masks the weaker target; the 3/4-rank order statistic ignores
+    isolated train-cell spikes and keeps the detection."""
+    r, c = 15, 20
+    # Interferer 4 cells away: outside the guards (2), inside the train
+    # window (offsets 3..6).
+    z = _map_with_peaks([(r, c, 6.0), (r, c + 4, 60.0)], seed=4)
+    zj = jnp.asarray(z)
+    _, noise, _ = map_metrics(zj)
+
+    ca = _detector()(zj, noise)
+    ca_hits = set(zip(np.asarray(ca.row)[np.asarray(ca.valid)],
+                      np.asarray(ca.col)[np.asarray(ca.valid)]))
+    os_ = _os_detector()(zj, noise)
+    os_hits = set(zip(np.asarray(os_.row)[np.asarray(os_.valid)],
+                      np.asarray(os_.col)[np.asarray(os_.valid)]))
+
+    assert (r, c) not in ca_hits, "scene too easy: CA sees the target too"
+    assert (r, c) in os_hits
+    assert (r, c + 4) in os_hits  # the interferer itself still detected
+
+
+def test_os_cfar_through_pipeline_config():
+    """process.detection.cfar: 'os' selects OS-CFAR in the fused pipeline
+    (XLA chain; the fused Pallas kernel implements CA only)."""
+    import jax
+
+    from blah2_tpu.config import config_from_dict
+    from blah2_tpu.dsp.cfar import OsCfarDetector
+    from blah2_tpu.dsp.pipeline import CpiPipeline
+    from blah2_tpu.capture.synthetic import synthetic_cpi, TargetSpec
+
+    cfg = config_from_dict({
+        "capture": {"fs": 50_000, "fc": 100e6},
+        "process": {
+            "data": {"cpi": 0.2},
+            "ambiguity": {"delayMin": -5, "delayMax": 40,
+                          "dopplerMin": -100, "dopplerMax": 100},
+            "clutter": {"enable": True, "delayMin": -5, "delayMax": 20},
+            "detection": {"enable": True, "pfa": 1e-5, "nGuard": 2,
+                          "nTrain": 6, "minDelay": 5, "minDoppler": 10,
+                          "nCentroid": 6, "cfar": "os"},
+        },
+    })
+    pipe = CpiPipeline(cfg)
+    assert isinstance(pipe.cfar, OsCfarDetector)
+    assert pipe.fused_detector is None  # fused kernel is CA-only
+    x, y = synthetic_cpi(cfg.n_samples, cfg.capture.fs,
+                         [TargetSpec(12, 55.0, 0.1)],
+                         clutter_amplitude=2.0, noise_amplitude=1e-3,
+                         seed=11)
+    out = pipe(jax.numpy.asarray(x, jax.numpy.complex64),
+               jax.numpy.asarray(y, jax.numpy.complex64))
+    valid = np.asarray(out.detections.valid)
+    cols = np.asarray(out.detections.col)[valid]
+    delays = np.asarray(out.detections.delay)[valid]
+    assert valid.sum() >= 1
+    assert any(abs(d - 12) <= 1 for d in delays), (delays, cols)

@@ -188,3 +188,31 @@ def test_sharded_ecab_detects_target_under_drifting_clutter():
     v = np.asarray(out.detections.valid)[0]
     delays = np.asarray(out.detections.delay)[0][v]
     assert np.any(np.abs(delays - 35) < 1.0)
+
+
+def test_sharded_os_cfar_matches_single_device():
+    """process.detection.cfar='os' in mesh mode: the OS-CFAR detector
+    row-shards like CA (per-Doppler-row delay windows); detection sets
+    must match the single-device OS pipeline."""
+    cfg = _config()
+    cfg.process.detection.cfar = "os"
+    xb, yb = _batch(cfg, b=2, seed=3)
+
+    mesh = make_radar_mesh(2, 4)
+    sp = ShardedCpiPipeline(cfg, mesh, dtype=jnp.complex128)
+    from blah2_tpu.dsp.cfar import OsCfarDetector
+
+    assert isinstance(sp.cfar, OsCfarDetector)
+    out = sp(*sp.shard_inputs(xb, yb))
+
+    single = CpiPipeline(cfg, dtype=jnp.complex128, clutter_mode="linear")
+    assert isinstance(single.cfar, OsCfarDetector)
+    for i in range(2):
+        ref = single(jnp.asarray(xb[i]), jnp.asarray(yb[i]))
+        v_s = np.asarray(out.detections.valid)[i]
+        v_r = np.asarray(ref.detections.valid)
+        got = set(zip(np.asarray(out.detections.row)[i][v_s],
+                      np.asarray(out.detections.col)[i][v_s]))
+        want = set(zip(np.asarray(ref.detections.row)[v_r],
+                       np.asarray(ref.detections.col)[v_r]))
+        assert got == want and len(want) >= 1
