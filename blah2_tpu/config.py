@@ -84,7 +84,14 @@ class TrackerConfig:
     n: int = 5
     max_acc: float = 10.0
     n_delete: int = 10
+    #: Track smoothing: "none" (reference behavior) or "alpha-beta"
+    #: (implements the reference's declared-but-TODO smooth key,
+    #: `Tracker.h:7`).
     smooth: str = "none"
+    #: alpha-beta gains (schema extension): measurement blend gain on
+    #: delay/Doppler, and the Doppler-residual gain on acceleration.
+    smooth_alpha: float = 0.5
+    smooth_beta: float = 0.25
 
 
 @dataclasses.dataclass
@@ -222,6 +229,8 @@ def config_from_dict(doc: Dict[str, Any]) -> Config:
         max_acc=float(_get(trk, "initiate", "maxAcc", default=10.0)),
         n_delete=int(trk.get("delete", 10)),
         smooth=str(trk.get("smooth", "none")),
+        smooth_alpha=float(trk.get("smoothAlpha", 0.5)),
+        smooth_beta=float(trk.get("smoothBeta", 0.25)),
     )
 
     net = doc.get("network", {}) or {}

@@ -201,6 +201,8 @@ class RadarRuntime:
                 t.m, t.n, t.n_delete, amb.cpi, t.max_acc,
                 SPEED_OF_LIGHT / config.capture.fs,
                 SPEED_OF_LIGHT / config.capture.fc,
+                smooth=t.smooth, smooth_alpha=t.smooth_alpha,
+                smooth_beta=t.smooth_beta,
             )
 
         self.iq_meta = IqMetadata()

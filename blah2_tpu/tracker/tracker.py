@@ -20,7 +20,17 @@ Parity with reference `src/process/tracker/Tracker.{h,cpp}`:
     nInactive += 1, delete after n_delete misses (`Tracker.cpp:99-123`);
   - initiation: each unassociated detection spawns one TENTATIVE track per
     acceleration hypothesis on the grid ±max_acc at resolution 1/cpi²
-    (`Tracker.cpp:17-23,137-160`).
+    (`Tracker.cpp:17-23,137-160`);
+  - smoothing: the reference parses ``tracker.smooth`` from every config
+    (`src/blah2.cpp:188`, `config/config.yml:48`) but never implements it
+    (`Tracker.h:7` "@todo Add smoothing capability"; `Track.h:11` notes
+    current is "used for smoothing output"). Implemented here:
+    ``smooth: alpha-beta`` blends each associated measurement with the
+    kinematic prediction (gain ``smoothAlpha`` on delay/Doppler) and
+    drives the acceleration estimate from the Doppler residual (gain
+    ``smoothBeta``) instead of the reference's raw Δdoppler/T
+    re-estimate — less jittery tracks from the same detections.
+    ``smooth: none`` (the reference default) keeps raw measurements.
 """
 
 from __future__ import annotations
@@ -41,6 +51,9 @@ class Tracker:
         max_acc_init: float,
         range_res: float,
         wavelength: float,
+        smooth: str = "none",
+        smooth_alpha: float = 0.5,
+        smooth_beta: float = 0.25,
     ):
         self.m = int(m)
         self.n = int(n)
@@ -49,6 +62,20 @@ class Tracker:
         self.max_acc_init = float(max_acc_init)
         self.range_res = float(range_res)
         self.wavelength = float(wavelength)
+        smooth = (smooth or "none").lower().replace("_", "-")
+        if smooth in ("alphabeta",):
+            smooth = "alpha-beta"
+        if smooth not in ("none", "alpha-beta"):
+            raise ValueError(
+                f"tracker.smooth must be 'none' or 'alpha-beta', "
+                f"got {smooth!r}")
+        self.smooth = smooth
+        self.smooth_alpha = float(smooth_alpha)
+        self.smooth_beta = float(smooth_beta)
+        if not 0.0 < self.smooth_alpha <= 1.0:
+            raise ValueError("smoothAlpha must be in (0, 1]")
+        if not 0.0 <= self.smooth_beta <= 2.0:
+            raise ValueError("smoothBeta must be in [0, 2]")
         self.timestamp_ms: Optional[int] = None
         self.store = TrackStore()
 
@@ -98,10 +125,24 @@ class Tracker:
 
             if associated is not None:
                 j = associated
-                point = (detection.delay[j], detection.doppler[j], detection.snr[j])
-                rec.associate(point)
-                if t > 0:
-                    rec.acceleration = (detection.doppler[j] - prev_doppler) / t
+                meas = (detection.delay[j], detection.doppler[j],
+                        detection.snr[j])
+                if self.smooth == "alpha-beta" and t > 0:
+                    # Blend measurement with the kinematic prediction; the
+                    # Doppler residual drives the acceleration estimate
+                    # (γ-style) instead of the raw Δdoppler/T re-estimate.
+                    r_delay = meas[0] - prediction[0]
+                    r_doppler = meas[1] - prediction[1]
+                    rec.associate((
+                        prediction[0] + self.smooth_alpha * r_delay,
+                        prediction[1] + self.smooth_alpha * r_doppler,
+                        meas[2]))
+                    rec.acceleration += self.smooth_beta * r_doppler / t
+                else:
+                    rec.associate(meas)
+                    if t > 0:
+                        rec.acceleration = \
+                            (detection.doppler[j] - prev_doppler) / t
                 rec.n_inactive = 0
                 rec.states.append(TrackState.ASSOCIATED)
                 self.store.promote(rec, self.m, self.n)
