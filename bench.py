@@ -96,19 +96,30 @@ def main() -> None:
         The device_put of CPI k+1 is dispatched (async) before CPI k's
         compute is forced, so transfer and compute overlap exactly as in
         the production runtime's chunked-ingest feeder. The scalar fetch
-        (np.asarray) forces end-to-end completion each CPI:
-        block_until_ready returns before execution finishes on some remote
-        TPU transports, which would time only async dispatch.
+        that forces completion (np.asarray — block_until_ready returns
+        before execution finishes on some remote TPU transports, which
+        would time only async dispatch) is deferred by ONE CPI: CPI k−1's
+        products are forced after CPI k's transfer+compute are dispatched,
+        so the fetch round trip rides the in-flight transfer instead of
+        serialising after it (measured ~¾ of the fixed ~28 ms round trip
+        back, interleaved A/B on the chip). Products are still fetched
+        every CPI — one behind, the throughput-for-latency trade already
+        made by mesh mode. The final pending fetch drains inside the
+        timed window, so the group mean hides nothing.
         """
         cur = jax.device_put(bufs[0])
         jax.block_until_ready(cur)
+        pending = None
         t0 = time.perf_counter()
         for k in range(n_cpis):
             nxt = jax.device_put(bufs[(k + 1) % n_buf])
             o = pipe._fn_quad12(cur)
-            np.asarray(o.noise_power)
+            if pending is not None:
+                np.asarray(pending.noise_power)
+            pending = o
             cur = nxt
-        return (time.perf_counter() - t0) / n_cpis, o
+        np.asarray(pending.noise_power)
+        return (time.perf_counter() - t0) / n_cpis, pending
 
     # Compute-only reference point (data resident on device) — steady and
     # unaffected by tunnel tenancy; reported in detail for the transfer/
@@ -141,7 +152,8 @@ def main() -> None:
         "vs_baseline": round(msps / 2.0, 3),
         "detail": {
             "n_samples_per_cpi": n,
-            "protocol": "packed-12bit quads, double-buffered streaming, best of "
+            "protocol": "packed-12bit quads, double-buffered streaming with "
+                        "one-CPI-deferred product fetch, best of "
                         f"{n_groups} groups x 6 CPIs (multi-tenant tunnel)",
             "cpi_wall_ms_best_group": round(1e3 * dt, 2),
             "cpi_wall_ms_groups": [round(1e3 * g, 2) for g in groups],
