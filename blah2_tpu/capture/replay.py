@@ -87,11 +87,13 @@ class FileReplaySource(Source):
                         break
                     self.record(ch1, ch2)
                     # Replay pushes only when space is free
-                    # (RspDuo.cpp:169-178); block until the consumer drains.
-                    if not buffer1.push_wait(ch1, timeout=5.0):
-                        buffer1.push(ch1)
-                    if not buffer2.push_wait(ch2, timeout=5.0):
-                        buffer2.push(ch2)
+                    # (RspDuo.cpp:169-178); block until the consumer
+                    # drains. Never fall back to drop-oldest: an
+                    # asymmetric overflow would desynchronise the
+                    # channels permanently (Source.push_pair_blocking).
+                    if not self.push_pair_blocking(buffer1, buffer2,
+                                                   ch1, ch2):
+                        return
                     if self.realtime:
                         t_next += n / self.fs
                         dt = t_next - time.monotonic()

@@ -27,6 +27,12 @@ class Source:
     #: up or the unscaled cast quantises everything to {-1, 0, 1}.
     record_scale: float = 1.0
 
+    #: record_channel backlog bound (samples per channel, ~2 s at 2 Msps):
+    #: if one vendor thread stalls or dies mid-recording (HackRF/Kraken
+    #: units stream independently), the other channel's pending list must
+    #: not grow without limit at the full sample rate.
+    record_pending_max: int = 4_000_000
+
     def __init__(self, type_name: str, fs: float, fc: float,
                  path: Optional[str] = None):
         self.type_name = type_name
@@ -39,6 +45,9 @@ class Source:
         # Per-channel pending blocks for record_channel (devices whose two
         # channels stream from independent vendor threads).
         self._record_pending: list = [[], []]
+        #: Samples discarded from a record_channel backlog that exceeded
+        #: ``record_pending_max`` (the recording seams at each discard).
+        self.n_record_desync = 0
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> None:
@@ -57,6 +66,37 @@ class Source:
 
     def replay(self, buffer1, buffer2, file: str, loop: bool) -> None:
         raise NotImplementedError(f"{self.type_name} does not support replay")
+
+    def push_pair_blocking(self, buffer1, buffer2,
+                           ch1: np.ndarray, ch2: np.ndarray) -> bool:
+        """Push one paired block into both rings with flow control —
+        never drop-oldest. Blocks until the consumer drains; blocks
+        larger than a ring are split. Returns False once the source is
+        stopped or a ring is closed.
+
+        Why this exists: drop-oldest overflow can shed *different*
+        sample counts from the two rings (pushes and pops interleave
+        arbitrarily under host load), permanently desynchronising the
+        channels — the cross-correlation then collapses with no way to
+        recover. The reference never hits this because its per-sample
+        pushes run with BOTH buffers locked in lockstep
+        (`RspDuo.cpp:493-552`) and its extractor only pops full CPIs
+        from both (`src/blah2.cpp:248-260`). Real SDR callbacks must
+        not block (drop-oldest is correct there), but sources with no
+        real-time deadline — synthetic generation, file replay — must
+        flow-control to the consumer instead."""
+        cap = min(getattr(buffer1, "capacity", len(ch1) or 1),
+                  getattr(buffer2, "capacity", len(ch2) or 1))
+        chunk = max(1, cap // 2)
+        for i in range(0, len(ch1), chunk):
+            for buf, block in ((buffer1, ch1[i:i + chunk]),
+                               (buffer2, ch2[i:i + chunk])):
+                while not self.stopped and not getattr(buf, "closed", False):
+                    if buf.push_wait(block, timeout=0.2):
+                        break
+                else:
+                    return False
+        return True
 
     # -- recording -----------------------------------------------------------
     def open_record_file(self) -> Optional[str]:
@@ -124,6 +164,17 @@ class Source:
                     self._record_pending = [[], []]
                 return
             self._record_pending[idx].append(np.asarray(block))
+            # Bound the backlog: if the *other* channel stalls, this
+            # channel's pending list would grow at the full sample rate
+            # for the rest of the session. Drop oldest-first past the cap
+            # and count the desync (the paired flush below keeps both
+            # channels aligned again from the next common sample on).
+            pend = self._record_pending[idx]
+            excess = sum(len(b) for b in pend) - self.record_pending_max
+            while excess > 0 and pend:
+                dropped = pend.pop(0)
+                excess -= len(dropped)
+                self.n_record_desync += len(dropped)
             n = min(sum(len(b) for b in self._record_pending[0]),
                     sum(len(b) for b in self._record_pending[1]))
             if n == 0:

@@ -133,8 +133,18 @@ class SyntheticSource(Source):
         return x, y
 
     def process(self, buffer1, buffer2) -> None:
+        # Flow-controlled lockstep pushes (Source.push_pair_blocking): a
+        # synthetic stream has no real-time deadline, so it paces to the
+        # consumer rather than drop-oldest. The rings therefore never
+        # overflow, the channels can never desynchronise, and every CPI
+        # window sees identical stream content regardless of host load —
+        # an unpaced push loop here caused order-dependent e2e failures
+        # (asymmetric overflow between the two rings destroyed the
+        # cross-correlation permanently).
         while not self.stopped:
             x, y = self.next_block()
             self.record(x, y)
-            buffer1.push(x.astype(np.complex64))
-            buffer2.push(y.astype(np.complex64))
+            if not self.push_pair_blocking(
+                    buffer1, buffer2,
+                    x.astype(np.complex64), y.astype(np.complex64)):
+                return

@@ -251,3 +251,55 @@ class ApiServer:
             except Exception:
                 pass
         self._servers.clear()
+
+
+def main(argv=None) -> int:
+    """Standalone API process: ``python -m blah2_tpu.net.api -c config.yml``.
+
+    Reproduces the reference's 3-process topology where the API runs as its
+    own container (`api/server.js:1`, `docker-compose.yml:20-30` there): the
+    radar process connects with ``--no-api --tcp-egress`` and streams the six
+    JSON products over TCP into this process's ingest listeners.
+    """
+    import argparse
+    import signal
+
+    parser = argparse.ArgumentParser(
+        prog="blah2_tpu.net.api",
+        description="blah2_tpu REST API middleware (standalone process)")
+    parser.add_argument("--config", "-c", required=True,
+                        help="YAML config file (blah2 schema)")
+    default_web = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "web")
+    parser.add_argument("--web-root",
+                        default=default_web if os.path.isdir(default_web)
+                        else None,
+                        help="serve the web frontend from this directory "
+                             "(default: the repo's web/)")
+    parser.add_argument("--no-ingest", action="store_true",
+                        help="REST only: do not open the six TCP product "
+                             "ingest listeners")
+    args = parser.parse_args(argv)
+
+    from blah2_tpu.config import load_config
+
+    config = load_config(args.config)
+    server = ApiServer(config, web_root=args.web_root)
+    server.start(with_ingest=not args.no_ingest)
+    net = config.network
+    print(f"API on http://{net.ip}:{net.api}"
+          + ("" if args.no_ingest else
+             f"; ingest on ports {net.map},{net.detection},{net.track},"
+             f"{net.timestamp},{net.timing},{net.iqdata}"),
+          flush=True)
+
+    done = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: done.set())
+    done.wait()
+    server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -16,11 +16,13 @@ ICI"):
     DMA moves raw bytes, complex is re-formed locally.
 
 Both run under `jax.shard_map`; both are validated against each other on the
-virtual CPU mesh (tests/test_halo.py) — the pallas backend in interpreter
-mode there, compiled Mosaic on real TPU slices. Note the compiled RDMA path
-needs an ICI-connected slice: single-chip tunnels (and the Pallas CPU
-interpreter on multi-axis meshes) cannot execute it, so ``ppermute`` is the
-default everywhere and the RDMA backend is opt-in for pod deployments.
+virtual CPU mesh (tests/test_halo.py) — the pallas backend under the TPU
+interpret mode (`pltpu.InterpretParams`, which simulates the inter-chip DMAs
+and semaphores faithfully, including on multi-axis meshes — the production
+(cpi, pulse) shape), compiled Mosaic on real TPU slices. Note the compiled
+RDMA path needs an ICI-connected slice: single-chip tunnels cannot execute
+it, so ``ppermute`` is the default everywhere and the RDMA backend is opt-in
+for pod deployments.
 """
 
 from __future__ import annotations
@@ -49,16 +51,12 @@ def _rdma_permute(v: jnp.ndarray, axis_name: str, to_left: bool,
                   collective_id: int = 0) -> jnp.ndarray:
     """Send ``v`` (any small f32 array) to the left (d→d−1) or right (d→d+1)
     ring neighbour via an explicit remote DMA; returns the received buffer.
-    Circular — caller masks the wrap-around edge."""
-    if interpret and n_mesh_axes > 1:
-        # The Pallas interpreter only implements remote DMA over 1-D meshes
-        # (dma_start_p: "Meshes with more than 1 named dimension not
-        # implemented"); multi-axis meshes need compiled Mosaic on a real
-        # TPU slice. tests/test_halo.py covers the 1-D interpret path.
-        raise NotImplementedError(
-            "pallas halo backend in interpret mode requires a 1-D mesh; "
-            "use halo_backend='ppermute' on non-TPU backends"
-        )
+    Circular — caller masks the wrap-around edge.
+
+    ``interpret`` runs the kernel under the TPU interpret mode
+    (`pltpu.InterpretParams`), which simulates the remote DMAs and
+    semaphores across the virtual device set — including multi-axis meshes,
+    so the production (cpi, pulse) shape is testable off-TPU."""
 
     def kernel(in_ref, out_ref, send_sem, recv_sem):
         my_id = lax.axis_index(axis_name)
@@ -70,9 +68,9 @@ def _rdma_permute(v: jnp.ndarray, axis_name: str, to_left: bool,
         neighbor = bwd if to_left else fwd
 
         def did(coord):
-            # Scalar device id on a 1-D mesh (the only form the interpreter
-            # accepts); dict form on multi-axis meshes — coordinates only
-            # for the exchanged axis, others keep this device's own.
+            # Mesh coordinates only for the exchanged axis; other axes keep
+            # this device's own coordinate (dict form). 1-D meshes accept
+            # the bare scalar.
             return coord if n_mesh_axes == 1 else {axis_name: coord}
 
         if not interpret:
@@ -80,8 +78,8 @@ def _rdma_permute(v: jnp.ndarray, axis_name: str, to_left: bool,
             # without it a fast device can write into a neighbour's output
             # buffer while the neighbour still uses it from the previous
             # invocation, or signal recv_sem before the neighbour enters
-            # the kernel. (The interpreter has no barrier support and
-            # serializes devices anyway.)
+            # the kernel. (The TPU interpret mode simulates DMA/semaphore
+            # completion deterministically and needs no barrier.)
             barrier = pltpu.get_barrier_semaphore()
             pltpu.semaphore_signal(
                 barrier, inc=1, device_id=did(fwd),
@@ -116,7 +114,7 @@ def _rdma_permute(v: jnp.ndarray, axis_name: str, to_left: bool,
             # callers assign a distinct id per data-independent call site.
             **({} if interpret else {"collective_id": int(collective_id)}),
         ),
-        interpret=interpret,
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(v)
 
 

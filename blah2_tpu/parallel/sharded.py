@@ -88,10 +88,10 @@ class ShardedCpiPipeline:
         self.dtype = dtype
         # Halo-exchange backend (parallel.halo): "ppermute" (XLA collective
         # permute, the default everywhere) or "pallas" (explicit inter-chip
-        # RDMA kernel for real ICI-connected slices). Off-TPU the pallas
-        # backend only interprets on 1-D meshes — on this 2-axis mesh it
-        # raises; tests/test_halo.py validates the kernel on a pulse-only
-        # mesh instead.
+        # RDMA kernel for real ICI-connected slices; off-TPU it runs under
+        # the TPU interpret mode, which simulates the remote DMAs on any
+        # mesh shape — tests/test_halo.py and the dryrun matrix cover the
+        # production 2-axis shape).
         if halo_backend not in ("ppermute", "pallas"):
             raise ValueError(f"unknown halo backend {halo_backend!r}")
         self._halo_kw = dict(backend=halo_backend)
@@ -152,6 +152,11 @@ class ShardedCpiPipeline:
                 getattr(proc, "spectrum", None), "bandwidth", 2000.0)
         self.spectrum = SpectrumAnalyser(n, spectrum_bandwidth, cap.fc,
                                          dtype=dtype)
+        # Fold twiddle padded to the sharded time axis: the spectrum folds
+        # locally per rank inside the shard_map and psums (n_spectrum,)
+        # partials — never reshards the CPI (see SpectrumAnalyser.fold_partial).
+        self._spec_tw_pad = jnp.asarray(
+            self.spectrum.twiddle_padded(self.n_pad))
 
         self.clutter_enabled = proc.clutter.enable
         kind = (getattr(proc.clutter, "filter", "wiener") or "wiener").lower()
@@ -449,6 +454,9 @@ class ShardedCpiPipeline:
 
         def block_fn(x_blk, y_blk):
             # x_blk: (B_local, block_len) on this device.
+            d = jax.lax.axis_index("pulse")
+            offset = (d * self.block_len).astype(jnp.int32)
+
             def one_cpi(x_loc, y_loc):
                 if self.clutter_enabled and self.clutter_kind == "eca-b":
                     y2, ok_local = self._clutter_block_ecab(x_loc, y_loc)
@@ -463,17 +471,22 @@ class ShardedCpiPipeline:
                 else:
                     y2, ok = y_loc, jnp.asarray(True)
                 z = self._ambiguity_block(x_loc, y2)
-                return z, ok
+                # Reference-channel spectrum: local fold + tiny psum (the
+                # full-CPI fold would otherwise reshard across ranks).
+                fold = jax.lax.psum(
+                    self.spectrum.fold_partial(x_loc, offset,
+                                               self._spec_tw_pad), "pulse")
+                return z, ok, fold
 
             return jax.vmap(one_cpi)(x_blk, y_blk)
 
         z_spec = P("cpi", "pulse", None) if self._row_shard \
             else P("cpi", None, None)
-        z, clutter_ok = jax.shard_map(
+        z, clutter_ok, folded = jax.shard_map(
             block_fn,
             mesh=self.mesh,
             in_specs=(P("cpi", "pulse"), P("cpi", "pulse")),
-            out_specs=(z_spec, P("cpi")),
+            out_specs=(z_spec, P("cpi"), P("cpi", None)),
             check_vma=False,
         )(xb, yb)
         if self._row_shard:
@@ -485,9 +498,9 @@ class ShardedCpiPipeline:
             z = jax.lax.with_sharding_constraint(
                 z[:, :nd, :], NamedSharding(self.mesh, z_spec))
 
-        # Spectrum on the original-length slice (small final FFT; the fold
-        # reduction is partitioner-friendly — no sharded FFT dims).
-        spec = jax.vmap(self.spectrum)(xb[:, : self.spectrum.nfft])
+        # Small final FFT + bin permutation on the psum'd fold (replicated
+        # per CPI row; n_spectrum-point — partitioner-trivial).
+        spec = jax.vmap(self.spectrum.finish)(folded)
         spec_db = SpectrumAnalyser.to_db(spec)
 
         if self.detection_enabled and self.fused_detector is not None:

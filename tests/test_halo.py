@@ -69,9 +69,38 @@ def test_overlap_save_fir_with_rdma_halo(mesh1d):
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
 
 
-def test_sharded_pipeline_pallas_backend_guard():
-    """On non-TPU backends, the 2-axis (cpi, pulse) mesh cannot interpret
-    remote DMA — the pipeline must fail with a clear message, not hang."""
+@pytest.mark.parametrize("direction", ["next", "prev"])
+def test_pallas_halo_2axis_mesh(direction):
+    """The RDMA halo on the production 2-axis (cpi, pulse) mesh shape:
+    the TPU interpret mode simulates the remote DMAs per cpi group
+    (`pltpu.InterpretParams`); output must match ppermute exactly."""
+    mesh = make_radar_mesh(2, 4)
+    n_cpi, n_pulse, count, blk = 2, 4, 5, 32
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((n_cpi, n_pulse * blk)).astype(np.float32)
+    vs = jax.device_put(jnp.asarray(v),
+                        NamedSharding(mesh, P("cpi", "pulse")))
+    fn = shift_from_next if direction == "next" else shift_from_prev
+
+    def run(backend):
+        def body(x):
+            kw = dict(backend=backend)
+            if backend == "pallas":
+                kw.update(interpret=True, n_mesh_axes=2)
+            return fn(x[0], count, "pulse", **kw)[None]
+        return np.asarray(jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=P("cpi", "pulse"),
+            out_specs=P("cpi", "pulse"), check_vma=False,
+        ))(vs))
+
+    np.testing.assert_allclose(run("pallas"), run("ppermute"), atol=0)
+
+
+def test_sharded_pipeline_pallas_backend_2axis():
+    """Full sharded pipeline on the production 2-axis mesh with the RDMA
+    halo backend (interpreted): products must match the ppermute backend
+    bit-for-bit — the halo payloads are identical, only the transport
+    differs."""
     cfg = config_from_dict({
         "capture": {"fs": 80_000, "fc": 204_640_000},
         "process": {
@@ -86,10 +115,15 @@ def test_sharded_pipeline_pallas_backend_guard():
                          [TargetSpec(20, -44.0, 0.1)],
                          clutter_amplitude=2.0, noise_amplitude=1e-3, seed=5)
     xb, yb = np.stack([x, x]), np.stack([y, y])
-    sp = ShardedCpiPipeline(cfg, make_radar_mesh(2, 4),
-                            halo_backend="pallas")
-    with pytest.raises(NotImplementedError, match="1-D mesh"):
-        sp(*sp.shard_inputs(xb, yb))
+    mesh = make_radar_mesh(2, 4)
+    outs = {}
+    for backend in ("ppermute", "pallas"):
+        sp = ShardedCpiPipeline(cfg, mesh, halo_backend=backend)
+        outs[backend] = sp(*sp.shard_inputs(xb, yb))
+    np.testing.assert_allclose(np.asarray(outs["pallas"].db_map),
+                               np.asarray(outs["ppermute"].db_map),
+                               atol=1e-5)
+    assert bool(np.all(np.asarray(outs["pallas"].clutter_ok)))
 
 
 def test_sharded_fused_detect_matches_xla(mesh1d):

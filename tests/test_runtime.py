@@ -35,6 +35,12 @@ def radar_products():
     runtime = RadarRuntime(cfg, api_server=api)
     runtime.start_capture()
     runtime.run(n_cpis=3, quiet=True)
+    # Determinism invariant: the synthetic source flow-controls
+    # (push_pair_blocking), so the rings must never have overflowed and
+    # the channels can never desynchronise — the run's products do not
+    # depend on host load/scheduling. A nonzero counter here means the
+    # pacing coupling regressed (the round-2 under-load flake).
+    drops = (runtime.buffer1.dropped, runtime.buffer2.dropped)
     runtime.stop()
 
     def get(path):
@@ -54,11 +60,19 @@ def radar_products():
     products["stash_iqdata"] = get("/stash/iqdata")
     products["capture"] = get("/capture")
     api.stop()
-    return cfg, products
+    return cfg, products, drops
+
+
+def test_no_ring_overflow_or_desync(radar_products):
+    """The flow-controlled synthetic feed must never overflow the rings:
+    drop counters are the desync invariant (asymmetric drops between the
+    two rings would destroy channel alignment permanently)."""
+    _, _, drops = radar_products
+    assert drops == (0, 0)
 
 
 def test_map_product(radar_products):
-    cfg, p = radar_products
+    cfg, p, _ = radar_products
     doc = json.loads(p["map"])
     assert doc["nRows"] > 0 and doc["nCols"] == 111
     assert len(doc["data"]) == doc["nRows"]
@@ -68,7 +82,7 @@ def test_map_product(radar_products):
 
 
 def test_detection_product(radar_products):
-    cfg, p = radar_products
+    cfg, p, _ = radar_products
     doc = json.loads(p["detection"])
     assert len(doc["delay"]) >= 1
     # detections reported in km: target at 40 bins ⇒ 40·(c/fs)/1000 ≈ 60 km
@@ -77,14 +91,14 @@ def test_detection_product(radar_products):
 
 
 def test_tracker_product(radar_products):
-    _, p = radar_products
+    _, p, _ = radar_products
     doc = json.loads(p["tracker"])
     assert doc["n"] > 0
     assert "nActive" in doc and "data" in doc
 
 
 def test_timing_and_timestamp(radar_products):
-    _, p = radar_products
+    _, p, _ = radar_products
     t = json.loads(p["timing"])
     assert t["nCpi"] == 3
     assert "cpi" in t and "ambiguity_processing" in t
@@ -92,19 +106,19 @@ def test_timing_and_timestamp(radar_products):
 
 
 def test_iqdata_product(radar_products):
-    _, p = radar_products
+    _, p, _ = radar_products
     doc = json.loads(p["iqdata"])
     assert len(doc["spectrum"]) == len(doc["frequency"]) > 0
 
 
 def test_config_endpoint(radar_products):
-    cfg, p = radar_products
+    cfg, p, _ = radar_products
     doc = json.loads(p["config"])
     assert doc["capture"]["fs"] == cfg.capture.fs
 
 
 def test_stashes(radar_products):
-    _, p = radar_products
+    _, p, _ = radar_products
     maxhold = json.loads(p["stash_map"])
     assert maxhold["data"]
     det = json.loads(p["stash_detection"])
@@ -116,7 +130,7 @@ def test_stashes(radar_products):
 
 
 def test_capture_toggle(radar_products):
-    cfg, p = radar_products
+    cfg, p, _ = radar_products
     assert p["capture"] == "false"
 
 

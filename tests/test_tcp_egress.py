@@ -1,0 +1,122 @@
+"""TCP-egress topology e2e: radar process → six TCP streams → standalone API.
+
+The reference's 3-container topology wires the C++ processor to the Node API
+over localhost TCP (`src/blah2.cpp:101-112`, `api/server.js:123-213`). Here
+the standalone API entry point (``python -m blah2_tpu.net.api``) runs as a
+real subprocess with the six ingest listeners open, while the radar runtime
+runs with ``use_tcp_egress`` and no in-process API — the exact wiring of
+``deploy/docker-compose-3proc.yml``.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG = os.path.join(REPO, "config", "config-synthetic.yml")
+
+PORTS = {"api": 18600, "map": 18601, "detection": 18602, "track": 18603,
+         "timestamp": 18700, "timing": 18701, "iqdata": 18702,
+         "config": 18703}
+
+
+@pytest.fixture(scope="module")
+def tcp_topology(tmp_path_factory):
+    """Start the standalone API subprocess, run the radar with TCP egress,
+    return the REST products."""
+    tmp = tmp_path_factory.mktemp("egress")
+    with open(CONFIG) as f:
+        raw = yaml.safe_load(f)
+    raw["network"]["ports"] = dict(PORTS)
+    cfg_path = tmp / "config.yml"
+    cfg_path.write_text(yaml.safe_dump(raw))
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "blah2_tpu.net.api", "-c", str(cfg_path)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+
+    def get(path, timeout=5):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{PORTS['api']}{path}", timeout=timeout
+        ) as r:
+            return r.read().decode()
+
+    try:
+        # Wait for the API to come up.
+        deadline = time.monotonic() + 20
+        while True:
+            try:
+                get("/api/timestamp", timeout=1)
+                break
+            except Exception:
+                if time.monotonic() > deadline:
+                    raise RuntimeError("standalone API never came up")
+                if proc.poll() is not None:
+                    out = proc.stdout.read().decode()
+                    raise RuntimeError(f"API process exited: {out}")
+                time.sleep(0.2)
+
+        from blah2_tpu.config import load_config
+        from blah2_tpu.runtime.radar import RadarRuntime
+
+        cfg = load_config(str(cfg_path))
+        runtime = RadarRuntime(cfg, api_server=None, use_tcp_egress=True)
+        runtime.start_capture()
+        runtime.run(n_cpis=2, quiet=True)
+        runtime.stop()
+
+        # The TCP publishes are synchronous, but the ingest handler swaps
+        # the product in on its own thread — poll briefly for the map.
+        deadline = time.monotonic() + 10
+        while not get("/api/map"):
+            if time.monotonic() > deadline:
+                break
+            time.sleep(0.1)
+
+        products = {p: get(f"/api/{p}")
+                    for p in ("map", "detection", "tracker", "timestamp",
+                              "timing", "iqdata")}
+        yield products
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+
+
+def test_products_cross_tcp(tcp_topology):
+    p = tcp_topology
+    doc = json.loads(p["map"])
+    assert doc["nRows"] > 0 and len(doc["data"]) == doc["nRows"]
+    assert doc["maxPower"] > 10
+    det = json.loads(p["detection"])
+    assert len(det["delay"]) >= 1
+    assert p["timestamp"].strip().isdigit()
+    t = json.loads(p["timing"])
+    assert t["nCpi"] == 2 and "ambiguity_processing" in t
+    iq = json.loads(p["iqdata"])
+    assert len(iq["spectrum"]) > 0
+    trk = json.loads(p["tracker"])
+    assert "n" in trk and "data" in trk
+
+
+def test_standalone_api_serves_config_and_web(tcp_topology):
+    def get(path):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{PORTS['api']}{path}", timeout=5) as r:
+            return r.read().decode()
+
+    doc = json.loads(get("/api/config"))
+    assert doc["capture"]["fs"] == 200000
+    # The standalone API serves the web console by default (3-container
+    # parity: the reference's httpd container, `docker-compose.yml:33-43`).
+    assert "<html" in get("/").lower()

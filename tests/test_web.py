@@ -65,6 +65,23 @@ def test_assets_serve_with_types(server):
     assert b"heatmapLayer" in body
 
 
+def test_plot_lib_has_zoom_pan(server):
+    """Map zoom/pan interaction parity with the Plotly frontend
+    (`html/js/plot_map.js:56-110` gets zoom/pan/reset as Plotly defaults):
+    the canvas lib must ship wheel zoom, drag pan and double-click reset,
+    and the map/detection pages must load it."""
+    _, port = server
+    _, _, body = _get(port, "/lib/plot.js")
+    for feature in (b'addEventListener("wheel"',
+                    b'addEventListener("mousedown"',
+                    b'addEventListener("dblclick"',
+                    b"resetView", b"_zoomAbout"):
+        assert feature in body, feature
+    for page in ("/display/map/", "/display/detection/delay-doppler/"):
+        _, _, html = _get(port, page)
+        assert b"/lib/plot.js" in html
+
+
 def test_traversal_rejected(server):
     _, port = server
     import urllib.error

@@ -4,6 +4,12 @@
  * with a purpose-built renderer for the four forms the console needs:
  * heatmap (sequential magnitude, viridis), scatter overlay (identity),
  * multi-series lines, and a time waterfall. Hover tooltips on every form.
+ *
+ * Interaction parity with the Plotly frontend (html/js/plot_map.js:56-110
+ * gets these as Plotly defaults): wheel zoom about the cursor, drag pan,
+ * double-click reset, with axes rescaling to the view. The view persists
+ * across the 10 Hz data refresh (setRanges only moves the home view while
+ * zoomed) so an operator can stay zoomed on a target.
  */
 "use strict";
 
@@ -73,6 +79,10 @@ class Plot {
     this.layers = [];   // draw + hover probes
     this.xRange = [0, 1];
     this.yRange = [0, 1];
+    this.homeX = [0, 1];
+    this.homeY = [0, 1];
+    this.zoomed = false;
+    this._drag = null;
     this._bindEvents();
     new ResizeObserver(() => this.draw()).observe(this.host);
   }
@@ -81,6 +91,17 @@ class Plot {
     this.canvas.addEventListener("mousemove", (e) => {
       const r = this.canvas.getBoundingClientRect();
       const px = e.clientX - r.left, py = e.clientY - r.top;
+      if (this._drag) {
+        const d = this._drag;
+        const dx = this.ix(px) - this.ix(d.px);
+        const dy = this.iy(py) - this.iy(d.py);
+        this.xRange = [d.xr[0] - dx, d.xr[1] - dx];
+        this.yRange = [d.yr[0] - dy, d.yr[1] - dy];
+        this.zoomed = true;
+        this.tip.style.display = "none";
+        this.draw();
+        return;
+      }
       let text = null;
       for (let i = this.layers.length - 1; i >= 0 && !text; i--) {
         const probe = this.layers[i].probe;
@@ -99,7 +120,52 @@ class Plot {
     });
     this.canvas.addEventListener("mouseleave", () => {
       this.tip.style.display = "none";
+      this._drag = null;
+      this.canvas.style.cursor = "";
     });
+    /* wheel: zoom both axes about the cursor (Plotly-parity scroll zoom) */
+    this.canvas.addEventListener("wheel", (e) => {
+      const r = this.canvas.getBoundingClientRect();
+      const px = e.clientX - r.left, py = e.clientY - r.top;
+      if (!this.inPlot(px, py)) return;
+      e.preventDefault();
+      const f = Math.exp(Math.sign(e.deltaY) * 0.18);
+      this._zoomAbout(this.ix(px), this.iy(py), f);
+    }, { passive: false });
+    /* drag: pan */
+    this.canvas.addEventListener("mousedown", (e) => {
+      const r = this.canvas.getBoundingClientRect();
+      const px = e.clientX - r.left, py = e.clientY - r.top;
+      if (!this.inPlot(px, py)) return;
+      this._drag = { px, py, xr: [...this.xRange], yr: [...this.yRange] };
+      this.canvas.style.cursor = "grabbing";
+    });
+    window.addEventListener("mouseup", () => {
+      this._drag = null;
+      this.canvas.style.cursor = "";
+    });
+    /* double-click: reset to the data (home) view */
+    this.canvas.addEventListener("dblclick", () => this.resetView());
+  }
+
+  _zoomAbout(cx, cy, f) {
+    const span = (this.xRange[1] - this.xRange[0]) * f;
+    const homeSpan = Math.abs(this.homeX[1] - this.homeX[0]) || 1;
+    /* clamp: 500x in, 10x out relative to the data view */
+    if (span < homeSpan / 500 || span > homeSpan * 10) return;
+    this.xRange = [cx - (cx - this.xRange[0]) * f,
+                   cx + (this.xRange[1] - cx) * f];
+    this.yRange = [cy - (cy - this.yRange[0]) * f,
+                   cy + (this.yRange[1] - cy) * f];
+    this.zoomed = true;
+    this.draw();
+  }
+
+  resetView() {
+    this.zoomed = false;
+    this.xRange = [...this.homeX];
+    this.yRange = [...this.homeY];
+    this.draw();
   }
 
   size() {
@@ -138,7 +204,12 @@ class Plot {
     return px >= l && px <= w - r && py >= t && py <= h - b;
   }
 
-  setRanges(xr, yr) { this.xRange = xr; this.yRange = yr; }
+  setRanges(xr, yr) {
+    /* data (home) view; a user zoom/pan persists across data refreshes */
+    this.homeX = [...xr];
+    this.homeY = [...yr];
+    if (!this.zoomed) { this.xRange = [...xr]; this.yRange = [...yr]; }
+  }
 
   clearLayers() { this.layers = []; }
   addLayer(layer) { this.layers.push(layer); }
