@@ -595,9 +595,14 @@ class KrakenSource(Source):
                         "Failed to open device for available gains.")
         try:
             valid = self._api.tuner_gains(probe)
-        finally:
-            self._api.check(lib.rtlsdr_close(probe),
-                            "Failed to close device for available gains.")
+        except Exception:
+            # Unwinding from a gain-enumeration failure: close the probe
+            # without check() so a close error cannot replace the root
+            # cause.
+            lib.rtlsdr_close(probe)
+            raise
+        self._api.check(lib.rtlsdr_close(probe),
+                        "Failed to close device for available gains.")
         self.gain = self.round_gains(self.requested_gain, valid)
 
         try:

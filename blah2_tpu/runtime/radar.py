@@ -115,6 +115,7 @@ class RadarRuntime:
         self.staged_warmup = staged_warmup
         self._staged_ready = threading.Event()
         self._staged_warmup_thread: Optional[threading.Thread] = None
+        self._staged_warmed_dtype: Optional[np.dtype] = None
         self._stage_fractions: Optional[dict] = None
         amb = self.pipeline.ambiguity
         self.sharded = None
@@ -316,21 +317,25 @@ class RadarRuntime:
                 self._pack12_ok = False
         return p
 
-    def _staged_warm_planes(self) -> np.ndarray:
-        """Zero planes in the dtype/shape the staged programs will see,
-        so the warmup compiles the same executables the samples use."""
+    def _staged_input_dtype(self) -> np.dtype:
+        """Plane dtype the staged programs will currently see (tracks the
+        live wire-format state, which can flip at runtime)."""
         if self.ingest_chunks > 1 and self._wire_dtype is not None:
             # Chunked staged samples receive cat_planes output: unpack12
             # yields int32 planes on the packed path, otherwise the wire
             # dtype passes through.
-            dt = np.int32 if (self._pack12_ok and
-                              self._wire_dtype == np.int16) \
-                else self._wire_dtype
-        else:
-            # Unchunked staged samples go through to_planes of the host
-            # complex window: float planes.
-            dt = np.dtype(self.pipeline._plane_dtype)
-        return np.zeros((self.n_samples, 2), dtype=dt)
+            return np.dtype(np.int32) if (
+                self._pack12_ok and self._wire_dtype == np.int16) \
+                else np.dtype(self._wire_dtype)
+        # Unchunked staged samples go through to_planes of the host
+        # complex window: float planes.
+        return np.dtype(self.pipeline._plane_dtype)
+
+    def _staged_warm_planes(self) -> np.ndarray:
+        """Zero planes in the dtype/shape the staged programs will see,
+        so the warmup compiles the same executables the samples use."""
+        return np.zeros((self.n_samples, 2),
+                        dtype=self._staged_input_dtype())
 
     def _start_staged_warmup(self) -> None:
         """Compile the four staged-timing programs OFF the hot path.
@@ -343,12 +348,18 @@ class RadarRuntime:
         begins at the first scheduled CPI after it completes, and fused
         CPIs keep flowing meanwhile (reporting their wall under
         ambiguity_processing until fractions exist)."""
+        # Snapshot the wire dtype NOW: a flip mid-warmup must not change
+        # what this warmup compiles (the flip is caught at the next sample
+        # gate, which re-warms for the new dtype).
+        xp0 = self._staged_warm_planes()
+        self._staged_warmed_dtype = xp0.dtype
+
         def warm():
             try:
                 import jax
 
                 p = self.pipeline
-                xp = self._staged_warm_planes()
+                xp = xp0
                 # Bail between stage compiles on shutdown: a compile
                 # cannot be interrupted, but the next one need not start.
                 # (The thread is non-daemon and joined in stop() — a
@@ -388,6 +399,16 @@ class RadarRuntime:
                 self._start_staged_warmup()
             if not self._staged_ready.is_set():
                 return False
+        if self._staged_warmed_dtype != self._staged_input_dtype():
+            # Wire format flipped after warmup (f32 fallback on the first
+            # non-exact block, or pack12 disabled on out-of-range data):
+            # running a staged sample now would recompile all four staged
+            # programs INLINE — minutes of stall on remote transports.
+            # Re-warm for the new dtype in the background instead; fused
+            # CPIs keep flowing meanwhile.
+            self._staged_ready.clear()
+            self._start_staged_warmup()
+            return False
         return self.n_cpis_done % self.staged_sample_every == 0
 
     def _run_staged_sample(self, x, y):

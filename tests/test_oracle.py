@@ -147,12 +147,12 @@ def both_outputs(oracle_bin, tmp_path_factory):
     yr = buf2.pop(n, timeout=0)
     pipe = CpiPipeline(cfg, dtype=jnp.complex128, use_pallas=False)
     ours = pipe(xr.astype(np.complex128), yr.astype(np.complex128))
-    return oracle, ours, cfg
+    return oracle, ours, cfg, (xr, yr)
 
 
 class TestOracleParity:
     def test_map_dimensions(self, both_outputs):
-        (rows, cols, cmap, *_), ours, _ = both_outputs
+        (rows, cols, cmap, *_), ours, _, _ = both_outputs
         db = np.asarray(ours.db_map)
         # Reference nDelayBins = delayMax-delayMin+1 with an acknowledged
         # 1-bin windowing offset (`Ambiguity.h:7`, `Ambiguity.cpp:131-146`)
@@ -163,13 +163,13 @@ class TestOracleParity:
         """Cell-wise complex map parity, float64 both sides. Both compute
         identical linear correlations (different-but-sufficient FFT sizes)
         so disagreement means an algorithm divergence, not noise."""
-        (rows, cols, cmap, *_), ours, _ = both_outputs
+        (rows, cols, cmap, *_), ours, _, _ = both_outputs
         ours_db = np.asarray(ours.db_map)
         ref_db = 10 * np.log10(np.abs(cmap))
         np.testing.assert_allclose(ours_db, ref_db, rtol=0, atol=1e-6)
 
     def test_metrics_parity(self, both_outputs):
-        (_, _, _, noise, maxp, ok, _), ours, _ = both_outputs
+        (_, _, _, noise, maxp, ok, _), ours, _, _ = both_outputs
         assert ok == 1 and bool(ours.clutter_ok)
         assert abs(float(ours.noise_power) - noise) < 1e-6
         assert abs(float(ours.max_power) - maxp) < 1e-6
@@ -178,7 +178,7 @@ class TestOracleParity:
         """Raw CFAR cells must agree. The TPU pipeline's emitted product
         applies centroid+interpolation after CFAR, so compare its raw CFAR
         stage (same class the product uses) against the oracle's cells."""
-        (_, _, cmap, noise, _, _, det_ref), ours, cfg = both_outputs
+        (_, _, cmap, noise, _, _, det_ref), ours, cfg, _ = both_outputs
         import jax.numpy as jnp
 
         from blah2_tpu.dsp.ambiguity import AmbiguityProcessor
@@ -205,3 +205,67 @@ class TestOracleParity:
                                    rtol=1e-6, atol=1e-4)
         np.testing.assert_allclose(got[:, 2], want[:, 2],
                                    rtol=0, atol=1e-4)  # SNR stored f32
+
+
+class TestOracleF32:
+    """Production-dtype (complex64) bound against the float64 compiled
+    oracle — BASELINE's "maps bit-matched within SNR bound" criterion with
+    the bound quantified (also stated in PARITY.md): measured max cell-wise
+    error on this scene is 0.0104 dB across the whole map; asserted at
+    0.05 dB. Detection sets at the default pfa must be identical."""
+
+    @pytest.fixture(scope="class")
+    def f32_outputs(self, both_outputs):
+        import jax.numpy as jnp
+
+        from blah2_tpu.dsp.pipeline import CpiPipeline
+
+        (_, _, cmap, noise, maxp, ok, det_ref), _, cfg, (xr, yr) = \
+            both_outputs
+        pipe = CpiPipeline(cfg, dtype=jnp.complex64, use_pallas=False)
+        x32, y32 = xr.astype(np.complex64), yr.astype(np.complex64)
+        out = pipe(x32, y32)
+        # The staged API exposes the complex map for raw-CFAR comparison.
+        xc, yc, _ = pipe.stage_clutter(pipe.to_planes(x32),
+                                       pipe.to_planes(y32))
+        z32, _, noise32, _ = pipe.stage_ambiguity(xc, yc)
+        return out, np.asarray(z32), float(noise32), \
+            (cmap, noise, maxp, det_ref)
+
+    def test_map_cellwise_db_bound(self, f32_outputs):
+        out, _, _, (cmap, _, _, _) = f32_outputs
+        ref_db = 10 * np.log10(np.abs(cmap))
+        diff = np.abs(np.asarray(out.db_map) - ref_db)
+        assert float(diff.max()) < 0.05, float(diff.max())
+
+    def test_metrics_bound(self, f32_outputs):
+        out, _, _, (_, noise, maxp, _) = f32_outputs
+        assert abs(float(out.noise_power) - noise) < 1e-3
+        assert abs(float(out.max_power) - maxp) < 1e-3
+
+    def test_detection_set_equality(self, f32_outputs):
+        """Raw CFAR at complex64 must fire on exactly the oracle's cells at
+        the default pfa (the f32 dB perturbation is far below the CFAR
+        threshold margin on this scene)."""
+        import jax.numpy as jnp
+
+        from blah2_tpu.dsp.ambiguity import AmbiguityProcessor
+        from blah2_tpu.dsp.cfar import CfarDetector
+
+        _, z32, noise32, (_, _, _, det_ref) = f32_outputs
+        amb = AmbiguityProcessor(
+            AMB["delay_min"], AMB["delay_max"], AMB["doppler_min"],
+            AMB["doppler_max"], FS, int(FS * CPI_S), dtype=jnp.complex64)
+        cfar = CfarDetector(DET["pfa"], DET["n_guard"], DET["n_train"],
+                            DET["min_delay"], DET["min_doppler"],
+                            amb.delay_axis, amb.doppler_axis,
+                            max_detections=256)
+        det = cfar(jnp.asarray(z32), jnp.asarray(noise32))
+        v = np.asarray(det.valid)
+        got = np.array(sorted(zip(np.asarray(det.delay)[v],
+                                  np.asarray(det.doppler)[v])))
+        want = np.array(sorted(map(tuple, det_ref[:, :2])))
+        assert got.shape == want.shape, (got, want)
+        np.testing.assert_allclose(got[:, 0], want[:, 0], atol=0)
+        np.testing.assert_allclose(got[:, 1], want[:, 1],
+                                   rtol=1e-6, atol=1e-4)

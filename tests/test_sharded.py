@@ -190,6 +190,60 @@ def test_sharded_ecab_detects_target_under_drifting_clutter():
     assert np.any(np.abs(delays - 35) < 1.0)
 
 
+def test_sharded_ecab_drift_vs_single_chip_quantified():
+    """Mesh ECA-B uses a different segmentation grid than the single-chip
+    filter (per-rank divisor segments of block_len vs ceil(n/B) —
+    `parallel/sharded.py`, documented divergence). This pins the drift
+    with numbers on a drifting-clutter scene (fs=80 kHz, 0.2 s CPI,
+    2x4 mesh, nBatches 8): measured r3 —
+
+      zero-Doppler ridge residual:  single 11.86 dB, mesh 12.04 dB (Δ 0.18)
+      target-cell SNR:              single 17.12 dB, mesh 17.34 dB (Δ 0.22)
+      noise power:                  single 13.88 dB, mesh 13.80 dB (Δ 0.08)
+
+    Asserted at 1 dB. Individual noise-floor cells legitimately differ by
+    >10 dB (different residuals of different LS fits); the *suppression*
+    metrics and the detection outcome are the invariants."""
+    rng = np.random.default_rng(3)
+    cfg = _config()
+    cfg.process.clutter.filter = "eca-b"
+    cfg.process.clutter.n_batches = 8
+    n, fs = cfg.n_samples, cfg.capture.fs
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) / np.sqrt(2)
+    t = np.arange(n) / fs
+    gain = (2.0 + 1.0 * np.sin(2 * np.pi * t / t[-1])) * \
+        np.exp(1j * np.pi * (t / t[-1]) ** 2)
+    xd = np.zeros_like(x)
+    xd[35:] = x[:-35]
+    y = gain * x + 0.1 * xd * np.exp(2j * np.pi * -44.0 * t) + \
+        1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+
+    single = CpiPipeline(cfg, dtype=jnp.complex128)
+    o1 = single(jnp.asarray(x), jnp.asarray(y))
+    sp = ShardedCpiPipeline(cfg, make_radar_mesh(2, 4),
+                            dtype=jnp.complex128)
+    o2 = sp(*sp.shard_inputs(np.stack([x, x]), np.stack([y, y])))
+
+    db1 = np.asarray(o1.db_map)
+    db2 = np.asarray(o2.db_map)[0]
+    dop = np.asarray(sp.ambiguity.doppler_axis)
+    dly = np.asarray(sp.ambiguity.delay_axis)
+    ridge = np.abs(dop) < 15
+
+    assert abs(db1[ridge].mean() - db2[ridge].mean()) < 1.0
+    assert abs(float(o1.noise_power) - float(o2.noise_power[0])) < 1.0
+    r = int(np.argmin(np.abs(dop - (-44.0))))
+    c = int(np.argmin(np.abs(dly - 35)))
+    snr1 = db1[r, c] - float(o1.noise_power)
+    snr2 = db2[r, c] - float(o2.noise_power[0])
+    assert abs(snr1 - snr2) < 1.0, (snr1, snr2)
+    # Same product outcome: both detect the target at delay 35.
+    for out, idx in ((o1, slice(None)), (o2, 0)):
+        v = np.asarray(out.detections.valid)[idx]
+        delays = np.asarray(out.detections.delay)[idx][v]
+        assert np.any(np.abs(delays - 35) < 1.0)
+
+
 def test_sharded_os_cfar_matches_single_device():
     """process.detection.cfar='os' in mesh mode: the OS-CFAR detector
     row-shards like CA (per-Doppler-row delay windows); detection sets
