@@ -56,6 +56,7 @@ class RadarRuntime:
         halo_backend: str = "ppermute",
         staged_sample_every: int = 16,
         staged_warmup: str = "async",
+        enable_pack12: bool = True,
     ):
         """``api_server``: an ApiServer for in-process publishing; when
         ``use_tcp_egress`` the products are instead sent over the six TCP
@@ -181,8 +182,10 @@ class RadarRuntime:
         # 12-bit packing of int16 chunks (ops.pack12, 25% fewer bytes):
         # attempted while the stream stays within the 12-bit ADC range
         # (the RSPduo's native depth), permanently disabled the first time
-        # a block exceeds it.
-        self._pack12_ok = True
+        # a block exceeds it. ``enable_pack12=False`` forces plain int16
+        # wire (the A/B control for the wire-format decision,
+        # bench_runtime --wire).
+        self._pack12_ok = bool(enable_pack12)
         # Native C++ ring buffers when built (make -C native), else Python.
         self.buffer1 = make_ring_buffer(config.buffer_samples)
         self.buffer2 = make_ring_buffer(config.buffer_samples)
