@@ -73,13 +73,15 @@ def main() -> None:
 
     @jax.jit
     def heavy(a):
-        # ~50 ms-class compute on resident data to overlap against.
-        b = a.astype(jnp.float32).reshape(-1, 1000)
-        c = jnp.fft.fft(b.astype(jnp.complex64), axis=-1)
-        for _ in range(3):
-            c = jnp.fft.ifft(jnp.fft.fft(c, axis=-1) *
-                             jnp.conj(jnp.fft.fft(c, axis=-1)), axis=-1)
-        return jnp.sum(jnp.abs(c))
+        # ~50 ms-class MXU compute on resident data to overlap against
+        # (matmul chain: TPU-friendly shapes; avoid exotic FFT sizes whose
+        # remote compile takes tens of minutes).
+        b = a.astype(jnp.bfloat16).reshape(-1)[: 2048 * 2048]
+        m = b.reshape(2048, 2048)
+        m = m @ m.T
+        for _ in range(100):
+            m = m @ m * 1e-3
+        return jnp.sum(m.astype(jnp.float32))
 
     scalar = jnp.float32(1.0)
     np.asarray(null_prog(scalar))  # compile
