@@ -40,13 +40,9 @@ def main() -> None:
 
     # Persistent compile cache: remote TPU compilation of the full pipeline
     # takes minutes; cache it across bench runs.
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/blah2_tpu_jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from blah2_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from __graft_entry__ import _default_config
     from blah2_tpu.dsp.pipeline import CpiPipeline
@@ -134,10 +130,29 @@ def main() -> None:
     comp.sort()
     compute_ms = 1e3 * comp[len(comp) // 2]
 
+    # In-run wire floor: a raw timed put of one CPI's packed payload,
+    # measured next to each group, so wall can be audited against the
+    # line rate of the minutes the bench actually ran in. The transport
+    # is async-put + ~29 ms fixed round trip + bytes/line-rate
+    # (docs/tunnel_transport.md; PROBE_r03.json) — the r2 "dispatch gap"
+    # was an estimated-floor artifact, not recoverable overhead.
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda a: jnp.sum(a[:64].astype(jnp.int32)))
+    np.asarray(tiny(qd))  # compile
+
+    def wire_floor() -> float:
+        t0 = time.perf_counter()
+        d = jax.device_put(bufs[2])
+        np.asarray(tiny(d))
+        return time.perf_counter() - t0
+
     groups = []
+    floors = []
     out = None
     n_groups = 6
     for g in range(n_groups):
+        floors.append(wire_floor())
         per_cpi, out = stream_group(6)
         groups.append(per_cpi)
         if g < n_groups - 1:
@@ -157,6 +172,8 @@ def main() -> None:
                         f"{n_groups} groups x 6 CPIs (multi-tenant tunnel)",
             "cpi_wall_ms_best_group": round(1e3 * dt, 2),
             "cpi_wall_ms_groups": [round(1e3 * g, 2) for g in groups],
+            "wire_floor_ms_groups": [round(1e3 * f, 2) for f in floors],
+            "wire_bytes_per_cpi": int(bufs[0].nbytes),
             "compute_ms_data_resident": round(compute_ms, 2),
             "realtime_budget_ms": round(1e3 * n / fs, 2),
             "map_shape": [pipe.ambiguity.n_doppler_bins,

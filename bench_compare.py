@@ -75,8 +75,9 @@ def main(argv=None) -> None:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/blah2_tpu_jax_cache")
+    from blah2_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     import jax.numpy as jnp
 

@@ -115,18 +115,29 @@ def _run_single(staged_every: int) -> dict:
     cfg, api, rt, timings = _build_runtime(fname, 18765, staged_every, True)
 
     staged_live = False
+    warmup_overlapped = False
     if staged_every > 0:
         # Warm the staged programs BEFORE the measured window. With the
         # persistent cache pre-warmed (tools/warm_staged_cache.py) this is
-        # seconds; bounded so a cold cache degrades instead of hanging.
+        # seconds. On a cold cache wait out the compiles (up to 25 min —
+        # a running compile cannot be cancelled, and measuring while it
+        # contends on the single tunnel would pollute every number); if
+        # the tunnel is so degraded that even that bound is hit, measure
+        # anyway but flag the overlap in the output.
         rt._start_staged_warmup()
         t = rt._staged_warmup_thread
         if t is not None:
             t.join(timeout=300.0)
-        staged_live = rt._staged_ready.is_set() and \
-            rt._staged_warmed_dtype == rt._staged_input_dtype()
+            if t.is_alive():
+                print("staged warmup still compiling (cold cache?); "
+                      "waiting before measuring...", flush=True)
+                t.join(timeout=1200.0)
+            warmup_overlapped = t.is_alive()
+        staged_live = (not warmup_overlapped and
+                       rt._staged_ready.is_set() and
+                       rt._staged_warmed_dtype == rt._staged_input_dtype())
         if not staged_live:
-            rt.staged_sample_every = 0  # cold cache: keep the stream clean
+            rt.staged_sample_every = 0  # keep the stream clean
 
     n_warm, n_meas = 3, 21
     rt.start_capture()
@@ -182,6 +193,7 @@ def _run_single(staged_every: int) -> dict:
             "staged_timing_live": staged_live,
             "staged_sample_every": rt.staged_sample_every,
             "staged_overhead_pct_wall": overhead_pct,
+            "staged_warmup_overlapped_measurement": warmup_overlapped,
             "n_cpis_measured": len(steady),
             "wall_total_s": round(wall_total, 1),
             "ingest_chunks": rt.ingest_chunks,
@@ -253,13 +265,9 @@ def _run_wire_ab() -> dict:
 def main() -> None:
     import jax
 
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/blah2_tpu_jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from blah2_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--wire", choices=("packed", "ab"), default="packed",

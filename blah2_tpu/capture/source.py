@@ -46,8 +46,12 @@ class Source:
         # channels stream from independent vendor threads).
         self._record_pending: list = [[], []]
         #: Samples discarded from a record_channel backlog that exceeded
-        #: ``record_pending_max`` (the recording seams at each discard).
+        #: ``record_pending_max``.
         self.n_record_desync = 0
+        # Per-channel discard debt: when channel A's backlog drops N
+        # samples (peer stalled), the peer owes N discards on resume so
+        # the recorded pairing stays time-aligned.
+        self._record_debt = [0, 0]
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> None:
@@ -70,9 +74,8 @@ class Source:
     def push_pair_blocking(self, buffer1, buffer2,
                            ch1: np.ndarray, ch2: np.ndarray) -> bool:
         """Push one paired block into both rings with flow control —
-        never drop-oldest. Blocks until the consumer drains; blocks
-        larger than a ring are split. Returns False once the source is
-        stopped or a ring is closed.
+        never drop-oldest. Blocks until the consumer drains. Returns
+        False once the source is stopped or a ring is closed.
 
         Why this exists: drop-oldest overflow can shed *different*
         sample counts from the two rings (pushes and pops interleave
@@ -84,18 +87,46 @@ class Source:
         from both (`src/blah2.cpp:248-260`). Real SDR callbacks must
         not block (drop-oldest is correct there), but sources with no
         real-time deadline — synthetic generation, file replay — must
-        flow-control to the consumer instead."""
-        cap = min(getattr(buffer1, "capacity", len(ch1) or 1),
-                  getattr(buffer2, "capacity", len(ch2) or 1))
-        chunk = max(1, cap // 2)
-        for i in range(0, len(ch1), chunk):
-            for buf, block in ((buffer1, ch1[i:i + chunk]),
-                               (buffer2, ch2[i:i + chunk])):
-                while not self.stopped and not getattr(buf, "closed", False):
-                    if buf.push_wait(block, timeout=0.2):
-                        break
-                else:
+        flow-control to the consumer instead.
+
+        Progress guarantees (both were real deadlocks caught in r3):
+        pushes are PARTIAL — whatever currently fits is pushed
+        immediately, so the producer can always fill a ring to exactly
+        its capacity (a fixed push quantum deadlocks when free space can
+        never reach the quantum while the consumer waits for a full CPI,
+        e.g. ``buffer: 1`` ⇒ ring == one CPI) — and the two buffers are
+        fed INTERLEAVED, never sequentially (pushing all of ch1 first
+        deadlocks when the block exceeds the ring: buffer1 fills, the
+        producer blocks on it, and the consumer waits forever for
+        buffer2, which hasn't been touched)."""
+        bufs = (buffer1, buffer2)
+        blocks = (ch1, ch2)
+        i = [0, 0]
+        while i[0] < len(ch1) or i[1] < len(ch2):
+            if self.stopped:
+                return False
+            progressed = False
+            for k in (0, 1):
+                buf, block = bufs[k], blocks[k]
+                if i[k] >= len(block):
+                    continue
+                if getattr(buf, "closed", False):
                     return False
+                free = getattr(buf, "capacity", len(block)) - len(buf)
+                if free <= 0:
+                    continue
+                take = min(free, len(block) - i[k])
+                # Single producer per ring: `free` cannot shrink before
+                # the push, so this fits immediately.
+                if buf.push_wait(block[i[k]:i[k] + take], timeout=0.2):
+                    i[k] += take
+                    progressed = True
+            if not progressed:
+                # Both unfinished rings are full: wait for the consumer
+                # to pop (it pops both together), re-checking stop/close.
+                k = 0 if i[0] < len(ch1) else 1
+                if bufs[k].push_wait(blocks[k][i[k]:i[k] + 1], timeout=0.2):
+                    i[k] += 1
         return True
 
     # -- recording -----------------------------------------------------------
@@ -112,6 +143,7 @@ class Source:
                 self._record_file.close()
             self._record_file = open(filename, "ab")
             self._record_pending = [[], []]
+            self._record_debt = [0, 0]
         return filename
 
     def close_record_file(self) -> None:
@@ -122,6 +154,7 @@ class Source:
             # Unpaired per-channel tails must not leak into the next
             # recording session (record_channel).
             self._record_pending = [[], []]
+            self._record_debt = [0, 0]
 
     @property
     def recording(self) -> bool:
@@ -162,19 +195,32 @@ class Source:
             if self._record_file is None:
                 if self._record_pending[0] or self._record_pending[1]:
                     self._record_pending = [[], []]
+                    self._record_debt = [0, 0]
                 return
-            self._record_pending[idx].append(np.asarray(block))
+            block = np.asarray(block)
+            # Pay down discard debt first: these samples' pairs on the
+            # other channel were already dropped (backlog cap below), so
+            # discarding them keeps the recorded channels time-aligned.
+            debt = self._record_debt[idx]
+            if debt > 0:
+                take = min(debt, len(block))
+                self._record_debt[idx] -= take
+                block = block[take:]
+                if len(block) == 0:
+                    return
+            self._record_pending[idx].append(block)
             # Bound the backlog: if the *other* channel stalls, this
             # channel's pending list would grow at the full sample rate
-            # for the rest of the session. Drop oldest-first past the cap
-            # and count the desync (the paired flush below keeps both
-            # channels aligned again from the next common sample on).
+            # for the rest of the session. Drop oldest-first past the cap,
+            # count the desync, and charge the peer an equal discard debt
+            # so pairing re-aligns when it resumes.
             pend = self._record_pending[idx]
             excess = sum(len(b) for b in pend) - self.record_pending_max
             while excess > 0 and pend:
                 dropped = pend.pop(0)
                 excess -= len(dropped)
                 self.n_record_desync += len(dropped)
+                self._record_debt[1 - idx] += len(dropped)
             n = min(sum(len(b) for b in self._record_pending[0]),
                     sum(len(b) for b in self._record_pending[1]))
             if n == 0:

@@ -69,10 +69,12 @@ def parse_hlo_collectives(hlo_text: str) -> List[CollectiveOp]:
     ops: List[CollectiveOp] = []
     for line in hlo_text.splitlines():
         stripped = line.strip()
-        # `%name = <shape(s)> <op>(...)`; async pairs appear as
+        # `[ROOT ]%name = <shape(s)> <op>(...)`; async pairs appear as
         # `<op>-start` + `<op>-done` — count only the -start (or the
-        # plain sync form).
-        m = re.match(r"%?\S+\s*=\s*(\(?[^)=]*\)?)\s+([\w-]+)", stripped)
+        # plain sync form). A collective that is a computation root is
+        # prefixed `ROOT ` and must not be dropped.
+        m = re.match(r"(?:ROOT\s+)?%?\S+\s*=\s*(\(?[^)=]*\)?)\s+([\w-]+)",
+                     stripped)
         if not m:
             continue
         shapes_tok, opname = m.groups()

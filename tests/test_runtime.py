@@ -134,6 +134,45 @@ def test_capture_toggle(radar_products):
     assert p["capture"] == "false"
 
 
+def test_replay_buffer1_no_deadlock(tmp_path):
+    """Flow-control progress regression (r3): ``buffer: 1`` makes the ring
+    exactly one CPI, and replay blocks exceed it. Two past deadlock modes:
+    a fixed push quantum that can never fit, and feeding the rings
+    sequentially (ring 1 fills and blocks while the consumer waits forever
+    on untouched ring 2). push_pair_blocking must make progress with
+    partial, interleaved pushes."""
+    from blah2_tpu.capture.source import Source
+    from blah2_tpu.config import config_from_dict
+
+    fs, cpi = 200_000, 0.1
+    n = int(fs * cpi)
+    src = Source("RspDuo", fs, 204_640_000, path=str(tmp_path))
+    fname = src.open_record_file()
+    rng = np.random.default_rng(0)
+    x = np.clip(rng.standard_normal(3 * n) * 300,
+                -2047, 2047).astype(np.complex128)
+    src.record(x, x)
+    src.close_record_file()
+
+    cfg = config_from_dict({
+        "capture": {"fs": fs, "fc": 204_640_000,
+                    "replay": {"state": True, "loop": True, "file": fname}},
+        "process": {
+            "data": {"cpi": cpi, "buffer": 1},
+            "ambiguity": {"delayMin": -5, "delayMax": 40,
+                          "dopplerMin": -100, "dopplerMax": 100},
+            "clutter": {"enable": False},
+            "detection": {"enable": False},
+        },
+    })
+    rt = RadarRuntime(cfg)
+    rt.start_capture()
+    rt.run(n_cpis=4, quiet=True)
+    rt.stop()
+    assert rt.n_cpis_done == 4
+    assert (rt.buffer1.dropped, rt.buffer2.dropped) == (0, 0)
+
+
 class TestStagedTiming:
     def test_staged_timing_fills_all_reference_keys(self, synthetic_config):
         import json

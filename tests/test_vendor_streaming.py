@@ -366,3 +366,22 @@ class TestPerChannelRecording:
         np.testing.assert_array_equal(quads[:, 0], np.arange(10))
         np.testing.assert_array_equal(quads[:, 2], np.arange(100, 110))
         np.testing.assert_array_equal(quads[:, 3], -np.arange(10))
+
+    def test_record_channel_backlog_bounded_when_peer_stalls(self, tmp_path):
+        """If one vendor thread stalls mid-recording, the other channel's
+        pending backlog must stay bounded (oldest blocks dropped and the
+        desync counted) instead of growing at the full sample rate for the
+        rest of the session (ADVICE r2)."""
+        from blah2_tpu.capture.source import Source
+
+        src = Source("HackRF", FS, 100e6, path=str(tmp_path))
+        src.record_pending_max = 1000  # small cap for the test
+        src.open_record_file()
+        block = np.ones(300, dtype=np.complex64)
+        # Channel 1 never delivers; channel 0 keeps streaming.
+        for _ in range(10):
+            src.record_channel(0, block)
+        pending = sum(len(b) for b in src._record_pending[0])
+        assert pending <= src.record_pending_max
+        assert src.n_record_desync == 10 * 300 - pending
+        src.close_record_file()

@@ -41,13 +41,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/blah2_tpu_jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from blah2_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     dev = jax.devices()[0]
     print(f"device: {dev}", flush=True)

@@ -128,6 +128,8 @@ class Plot {
       const r = this.canvas.getBoundingClientRect();
       const px = e.clientX - r.left, py = e.clientY - r.top;
       if (!this.inPlot(px, py)) return;
+      /* horizontal-only trackpad scroll must not latch zoomed=true */
+      if (e.deltaY === 0) return;
       e.preventDefault();
       const f = Math.exp(Math.sign(e.deltaY) * 0.18);
       this._zoomAbout(this.ix(px), this.iy(py), f);
