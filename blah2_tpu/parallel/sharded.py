@@ -163,14 +163,23 @@ class ShardedCpiPipeline:
         kind = kind.replace("_", "-")
         if kind in ("eca-b", "ecab", "eca"):
             self.clutter_kind = "eca-b"
+        elif kind == "nlms":
+            # Sharded NLMS (round 3): the single-chip canceller
+            # (`dsp.clutter_eca.NlmsClutterFilter`) restarts its weights at
+            # every CPI, so restarting them at every *rank block* is the
+            # same algorithm at a finer restart grid — each rank runs the
+            # identical overlap-save frequency-domain block NLMS on its
+            # contiguous time block, with the first block's overlap-save
+            # history carried in by an L-sample ppermute halo from the
+            # previous rank (real samples where the single-chip filter sees
+            # its CPI-start zeros). Divergence from the single-chip filter
+            # is the P−1 extra weight restarts per CPI; quantified in
+            # tests/test_sharded.py::test_sharded_nlms_drift_vs_single_chip.
+            self.clutter_kind = "nlms"
         else:
             self.clutter_kind = "wiener"
             if self.clutter_enabled and kind not in (
                     "wiener", "wiener-hopf", "wienerhopf"):
-                # NLMS adapts sequentially across the whole CPI — the
-                # per-block dependency chain cannot shard over the pulse
-                # axis; warn rather than silently running a different
-                # algorithm (ADVICE r1).
                 import warnings
 
                 warnings.warn(
@@ -229,6 +238,29 @@ class ShardedCpiPipeline:
             self._eca_edge_mask = np.asarray(v < k)
             self._eca_idx_toeplitz = (k - v + nb - 1).astype(np.int32)
             self.diag_load_eca = diag_load if diag_load > 0.0 else 1e-4
+        if self.clutter_enabled and self.clutter_kind == "nlms":
+            # Same block geometry as NlmsClutterFilter: L taps rounded up
+            # to a power of two, 2L-point FFTs, weights adapt once per L.
+            nb = self.nb
+            self.nlms_L = 1 << (nb - 1).bit_length()
+            self.nlms_M = 2 * self.nlms_L
+            if self.nlms_L > self.block_len:
+                raise ValueError(
+                    "NLMS block (next pow2 of the clutter lag window) "
+                    "exceeds the per-device block; reduce the pulse-axis "
+                    "size")
+            self.nlms_K = -(-self.block_len // self.nlms_L)
+            self.nlms_mu = float(getattr(proc.clutter, "mu", 0.1))
+            self.nlms_beta = 0.9
+            self.nlms_eps = 1e-6
+            # Warm-start replay: before filtering, each rank re-adapts over
+            # the previous rank's last W blocks (halo-borne), so its
+            # weights enter the block converged — approximating the
+            # single-chip sequential chain at O(W) extra local FFT work
+            # instead of a cross-device scan. W covers the NLMS
+            # convergence time (~1/mu blocks) when the block affords it.
+            self.nlms_W = max(0, min(round(2.0 / self.nlms_mu), 32,
+                                     self.block_len // self.nlms_L - 1))
 
         self.detection_enabled = proc.detection.enable
         if self.detection_enabled:
@@ -409,6 +441,84 @@ class ShardedCpiPipeline:
         y2 = (yb - filt).reshape(self.block_len)
         return y2, jnp.all(ok_seg)
 
+    def _clutter_block_nlms(self, x_loc: jnp.ndarray, y_loc: jnp.ndarray):
+        """Per-device overlap-save frequency-domain block NLMS — the
+        rank-local form of `dsp.clutter_eca.NlmsClutterFilter` (same L-tap
+        blocks, per-bin power normalization, causal gradient constraint).
+        The weight/power state restarts at each rank boundary and is then
+        warm-started by replaying the previous rank's last ``nlms_W``
+        blocks (halo-borne), so the weights enter the rank converged —
+        approximating the single-chip sequential chain with O(W) extra
+        rank-local FFT work; the first block's overlap-save history also
+        arrives by halo, so no input samples are zero-filled mid-CPI.
+        Residual divergence vs the single-chip filter is quantified in
+        tests/test_sharded.py::test_sharded_nlms_drift_vs_single_chip_quantified.
+        Scan chain is rank-local: no cross-device dependency, the only
+        communication is the shift + replay-window ppermutes
+        ((W+1)·L + W·L samples). Returns ``(y_filtered, True)``."""
+        L, M, K, W = self.nlms_L, self.nlms_M, self.nlms_K, self.nlms_W
+        s = self.clutter_delay_min
+
+        if s < 0:
+            incoming = shift_from_next(x_loc, -s, "pulse", collective_id=2,
+                                       **self._halo_kw)
+            xs_loc = jnp.concatenate([x_loc[-s:], incoming])
+        elif s > 0:
+            incoming = shift_from_prev(x_loc, s, "pulse", collective_id=2,
+                                       **self._halo_kw)
+            xs_loc = jnp.concatenate([incoming, x_loc[:-s]])
+        else:
+            xs_loc = x_loc
+
+        halo_x = shift_from_prev(xs_loc, (W + 1) * L, "pulse",
+                                 collective_id=3, **self._halo_kw)
+        pad = K * L - self.block_len
+        xs_pad = jnp.concatenate(
+            [halo_x[-L:], xs_loc, jnp.zeros(pad, xs_loc.dtype)])
+        idx = jnp.arange(K)[:, None] * L + jnp.arange(M)[None, :]
+        X = jnp.fft.fft(xs_pad[idx], axis=-1)              # (K, M)
+        yk = jnp.pad(y_loc, (0, pad)).reshape(K, L)
+
+        real = jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
+        w0 = jnp.zeros(M, self.dtype)
+        p0 = jnp.full(M, self.nlms_eps, real)
+
+        def step(carry, inp):
+            w, p = carry
+            Xk, yb = inp
+            yhat = jnp.fft.ifft(w * Xk)[L:]
+            e = yb - yhat
+            E = jnp.fft.fft(jnp.concatenate([jnp.zeros(L, e.dtype), e]))
+            p = self.nlms_beta * p + (1.0 - self.nlms_beta) * \
+                jnp.abs(Xk).astype(real) ** 2
+            g = self.nlms_mu * jnp.conj(Xk) * E / \
+                (p + self.nlms_eps).astype(self.dtype)
+            w = w + g
+            wt = jnp.fft.ifft(w).at[L:].set(0.0)
+            return (jnp.fft.fft(wt), p), e
+
+        if W > 0:
+            # Warm-start replay over the previous rank's last W blocks
+            # (zeros on rank 0 — a no-op adaptation, like the single-chip
+            # CPI start). err from the replay is discarded; only the
+            # converged (w, p) carry into the rank's own blocks.
+            halo_y = shift_from_prev(y_loc, W * L, "pulse",
+                                     collective_id=4, **self._halo_kw)
+            idx_w = jnp.arange(W)[:, None] * L + jnp.arange(M)[None, :]
+            Xw = jnp.fft.fft(halo_x[idx_w], axis=-1)       # (W, M)
+            yw = halo_y.reshape(W, L)
+            (w0, p0), _ = jax.lax.scan(step, (w0, p0), (Xw, yw))
+
+        (_, _), err = jax.lax.scan(step, (w0, p0), (X, yk))
+        y2 = err.reshape(K * L)[:self.block_len]
+        # The CPI pad region must stay zero (the Wiener/ECA-B paths get
+        # this for free: their filters output w·xs = 0 there; NLMS's
+        # -yhat is nonzero where a block straddles the valid/pad edge).
+        d = jax.lax.axis_index("pulse")
+        gidx = d * self.block_len + jnp.arange(self.block_len)
+        y2 = jnp.where(gidx < self.n_samples, y2, jnp.zeros((), y2.dtype))
+        return y2, jnp.asarray(True)
+
     def _ambiguity_block(self, x_loc: jnp.ndarray, y_loc: jnp.ndarray):
         """Per-device range + Doppler stages; psum over pulse → full map."""
         amb = self.ambiguity
@@ -466,6 +576,8 @@ class ShardedCpiPipeline:
                     ok = jax.lax.psum(
                         jnp.logical_not(ok_local).astype(jnp.int32),
                         "pulse") == 0
+                elif self.clutter_enabled and self.clutter_kind == "nlms":
+                    y2, ok = self._clutter_block_nlms(x_loc, y_loc)
                 elif self.clutter_enabled:
                     y2, ok = self._clutter_block(x_loc, y_loc)
                 else:
