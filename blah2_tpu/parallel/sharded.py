@@ -679,3 +679,41 @@ class ShardedCpiPipeline:
 
     def __call__(self, xb, yb) -> CpiOutputs:
         return self._fn(xb, yb)
+
+
+def calibrate_row_shard(config: Config, mesh: Mesh, n_trials: int = 3,
+                        **pipeline_kw) -> dict:
+    """Measure both Doppler-output layouts on THIS mesh and pick the winner.
+
+    The ``row_shard="auto"`` crossover (≥8 Doppler rows per rank) was
+    measured on the virtual CPU mesh, whose collective-cost ratios differ
+    from ICI — so on real hardware the static default can be wrong exactly
+    where it matters. This runs one step per layout per trial on random
+    planes (compile excluded; best-of-``n_trials`` to ride out tenancy)
+    and returns ``{"row_shard": bool, "ms_on": .., "ms_off": ..}``.
+    Wire it via ``RadarRuntime(row_shard="calibrate")`` or
+    ``--row-shard calibrate``; the measured decision is logged and cached
+    for the process lifetime."""
+    import time
+
+    rng = np.random.default_rng(0)
+    b = mesh.shape["cpi"]
+    ms: dict = {}
+    for name, flag in (("ms_on", True), ("ms_off", False)):
+        pipe = ShardedCpiPipeline(config, mesh, row_shard=flag,
+                                  **pipeline_kw)
+        n = config.n_samples
+        xb = (rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n)))
+        yb = (rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n)))
+        xj, yj = pipe.shard_inputs(xb, yb)
+        out = pipe(xj, yj)  # compile + warm
+        np.asarray(out.noise_power)  # force completion (axon transport)
+        best = float("inf")
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            out = pipe(xj, yj)
+            np.asarray(out.noise_power)
+            best = min(best, 1e3 * (time.perf_counter() - t0))
+        ms[name] = best
+    ms["row_shard"] = ms["ms_on"] <= ms["ms_off"]
+    return ms

@@ -60,6 +60,12 @@ def main(argv=None) -> int:
                         choices=("ppermute", "pallas"),
                         help="overlap-save halo exchange backend in mesh "
                              "mode")
+    parser.add_argument("--row-shard", default="auto",
+                        choices=("auto", "on", "off", "calibrate"),
+                        help="mesh-mode Doppler-output layout: auto "
+                             "(static rows-per-rank crossover), on/off, "
+                             "or calibrate (measure both layouts on this "
+                             "mesh at startup and keep the winner)")
     parser.add_argument("--coordinator", default=None,
                         help="multi-host: coordinator host:port (or 'auto' "
                              "for cloud-TPU detection); also via "
@@ -125,7 +131,9 @@ def main(argv=None) -> int:
                            staged_timing=args.staged_timing,
                            staged_sample_every=args.staged_sample_every,
                            ingest_chunks=args.ingest_chunks,
-                           mesh=mesh, halo_backend=args.halo_backend)
+                           mesh=mesh, halo_backend=args.halo_backend,
+                           row_shard={"on": True, "off": False}.get(
+                               args.row_shard, args.row_shard))
     runtime.install_signal_handlers()
     runtime.start_capture()
     profiler = None

@@ -54,6 +54,7 @@ class RadarRuntime:
         ingest_chunks: Optional[int] = None,
         mesh=None,
         halo_backend: str = "ppermute",
+        row_shard="auto",
         staged_sample_every: int = 16,
         staged_warmup: str = "async",
         enable_pack12: bool = True,
@@ -122,11 +123,23 @@ class RadarRuntime:
         self.sharded = None
         self.cpi_batch = 1
         if mesh is not None:
-            from blah2_tpu.parallel.sharded import ShardedCpiPipeline
+            from blah2_tpu.parallel.sharded import (
+                ShardedCpiPipeline, calibrate_row_shard)
 
+            if row_shard == "calibrate":
+                # Measure both Doppler-output layouts on the actual mesh
+                # (the static "auto" crossover came from the virtual CPU
+                # mesh; ICI cost ratios differ) and keep the winner.
+                cal = calibrate_row_shard(
+                    config, mesh, max_detections=max_detections,
+                    halo_backend=halo_backend)
+                row_shard = cal["row_shard"]
+                print(f"[mesh] row_shard calibration: "
+                      f"on={cal['ms_on']:.1f} ms off={cal['ms_off']:.1f} ms "
+                      f"-> row_shard={row_shard}", flush=True)
             self.sharded = ShardedCpiPipeline(
                 config, mesh, max_detections=max_detections,
-                halo_backend=halo_backend)
+                halo_backend=halo_backend, row_shard=row_shard)
             self.cpi_batch = int(mesh.shape["cpi"])
 
         from blah2_tpu.native import make_ring_buffer
