@@ -187,9 +187,9 @@ def _run_single(staged_every: int) -> dict:
             "cpi_ms_p90": round(cpi_ms[int(len(cpi_ms) * 0.9)], 1),
             "stage_means_ms": {
                 k: mean_key(k) for k in
-                ("extract_buffer", "spectrum", "clutter_filter",
-                 "ambiguity_processing", "detector", "tracker",
-                 "output_radar_data")},
+                ("extract_buffer", "wire_transfer", "spectrum",
+                 "clutter_filter", "ambiguity_processing", "detector",
+                 "tracker", "output_radar_data")},
             "staged_timing_live": staged_live,
             "staged_sample_every": rt.staged_sample_every,
             "staged_overhead_pct_wall": overhead_pct,

@@ -68,11 +68,19 @@ def test_sampling_disabled_keeps_single_device_key():
     assert doc["spectrum"] == 0.0 and doc["detector"] == 0.0
 
 
-def test_fractions_refresh_and_products_unaffected():
+def test_sample_refresh_and_wire_attribution():
     rt, timings = _run(3, staged_sample_every=2)
-    # CPIs 0 and 2 staged, CPI 1 apportioned; fractions cached.
-    assert rt._stage_fractions is not None
-    assert abs(sum(rt._stage_fractions.values()) - 1.0) < 1e-6
+    # CPIs 0 and 2 staged, CPI 1 apportioned; sampled absolutes cached.
+    assert rt._sample_stage_ms is not None
+    for k in ("spectrum", "clutter_filter", "ambiguity_processing",
+              "detector"):
+        assert rt._sample_stage_ms[k] >= 0.0
+    # Every CPI (staged and apportioned) carries the wire_transfer key,
+    # and the apportioned CPI's device stages + wire sum to its device
+    # wall (stages get sampled absolutes, surplus goes to the wire).
+    for doc in timings:
+        assert "wire_transfer" in doc
+        assert doc["wire_transfer"] >= 0.0
 
 
 def test_async_warmup_keeps_stream_flowing():
