@@ -92,6 +92,12 @@ class TrackerConfig:
     #: delay/Doppler, and the Doppler-residual gain on acceleration.
     smooth_alpha: float = 0.5
     smooth_beta: float = 0.25
+    #: Kalman smoothing noise model (smooth: kalman, schema extension):
+    #: accel random-walk std (Hz/s per CPI) and measurement stds
+    #: (delay bins / Hz; Doppler default = 0.3/cpi resolutions).
+    kalman_q: float = 0.1
+    kalman_r_delay: float = 0.3
+    kalman_r_doppler: Optional[float] = None
 
 
 @dataclasses.dataclass
@@ -231,6 +237,10 @@ def config_from_dict(doc: Dict[str, Any]) -> Config:
         smooth=str(trk.get("smooth", "none")),
         smooth_alpha=float(trk.get("smoothAlpha", 0.5)),
         smooth_beta=float(trk.get("smoothBeta", 0.25)),
+        kalman_q=float(trk.get("kalmanQ", 0.1)),
+        kalman_r_delay=float(trk.get("kalmanRDelay", 0.3)),
+        kalman_r_doppler=(float(trk["kalmanRDoppler"])
+                          if "kalmanRDoppler" in trk else None),
     )
 
     net = doc.get("network", {}) or {}

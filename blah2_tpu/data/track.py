@@ -41,6 +41,9 @@ class TrackRecord:
     # recursive conversion over the whole history.
     assoc_delay: List[float] = dataclasses.field(default_factory=list)
     assoc_doppler: List[float] = dataclasses.field(default_factory=list)
+    # Kalman smoothing state (tracker.smooth: kalman): 3x3 covariance,
+    # lazily initialized on the first associated update; not serialized.
+    kf_p: object = None
 
     @property
     def state(self) -> str:

@@ -219,7 +219,9 @@ class RadarRuntime:
                 SPEED_OF_LIGHT / config.capture.fs,
                 SPEED_OF_LIGHT / config.capture.fc,
                 smooth=t.smooth, smooth_alpha=t.smooth_alpha,
-                smooth_beta=t.smooth_beta,
+                smooth_beta=t.smooth_beta, kalman_q=t.kalman_q,
+                kalman_r_delay=t.kalman_r_delay,
+                kalman_r_doppler=t.kalman_r_doppler,
             )
 
         self.iq_meta = IqMetadata()

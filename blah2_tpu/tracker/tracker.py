@@ -30,12 +30,19 @@ Parity with reference `src/process/tracker/Tracker.{h,cpp}`:
     drives the acceleration estimate from the Doppler residual (gain
     ``smoothBeta``) instead of the reference's raw Δdoppler/T
     re-estimate — less jittery tracks from the same detections.
+    ``smooth: kalman`` runs a per-track 3-state (delay, doppler,
+    acceleration) Kalman filter over the same kinematic model, with
+    accel-random-walk process noise ``kalmanQ`` and measurement noise
+    ``kalmanRDelay``/``kalmanRDoppler`` — optimal gains that adapt
+    through initiation instead of the α-β constants.
     ``smooth: none`` (the reference default) keeps raw measurements.
 """
 
 from __future__ import annotations
 
 from typing import Optional
+
+import numpy as np
 
 from blah2_tpu.data.detection import Detection
 from blah2_tpu.data.track import TrackState, TrackStore
@@ -54,6 +61,9 @@ class Tracker:
         smooth: str = "none",
         smooth_alpha: float = 0.5,
         smooth_beta: float = 0.25,
+        kalman_q: float = 0.1,
+        kalman_r_delay: float = 0.3,
+        kalman_r_doppler: Optional[float] = None,
     ):
         self.m = int(m)
         self.n = int(n)
@@ -65,10 +75,10 @@ class Tracker:
         smooth = (smooth or "none").lower().replace("_", "-")
         if smooth in ("alphabeta",):
             smooth = "alpha-beta"
-        if smooth not in ("none", "alpha-beta"):
+        if smooth not in ("none", "alpha-beta", "kalman"):
             raise ValueError(
-                f"tracker.smooth must be 'none' or 'alpha-beta', "
-                f"got {smooth!r}")
+                f"tracker.smooth must be 'none', 'alpha-beta' or "
+                f"'kalman', got {smooth!r}")
         self.smooth = smooth
         self.smooth_alpha = float(smooth_alpha)
         self.smooth_beta = float(smooth_beta)
@@ -76,6 +86,19 @@ class Tracker:
             raise ValueError("smoothAlpha must be in (0, 1]")
         if not 0.0 <= self.smooth_beta <= 2.0:
             raise ValueError("smoothBeta must be in [0, 2]")
+        # Kalman noise model: accel random walk std q (Hz/s per CPI), and
+        # measurement stds in delay bins / Hz (Doppler default: a third of
+        # the 1/cpi Doppler resolution).
+        self.kalman_q = float(kalman_q)
+        self.kalman_r_delay = float(kalman_r_delay)
+        self.kalman_r_doppler = float(
+            kalman_r_doppler if kalman_r_doppler is not None
+            else 0.3 / float(cpi))
+        if self.smooth == "kalman":
+            if self.kalman_q <= 0.0:
+                raise ValueError("kalmanQ must be > 0")
+            if self.kalman_r_delay <= 0.0 or self.kalman_r_doppler <= 0.0:
+                raise ValueError("kalmanRDelay/kalmanRDoppler must be > 0")
         self.timestamp_ms: Optional[int] = None
         self.store = TrackStore()
 
@@ -103,7 +126,9 @@ class Tracker:
         return self.store
 
     def _update(self, detection: Detection, timestamp_ms: int, used) -> None:
-        t = (timestamp_ms - (self.timestamp_ms or timestamp_ms)) / 1000.0
+        prev_ms = timestamp_ms if self.timestamp_ms is None \
+            else self.timestamp_ms
+        t = (timestamp_ms - prev_ms) / 1000.0
         self.timestamp_ms = timestamp_ms
         gate_doppler = 1.0 / self.cpi
 
@@ -138,6 +163,8 @@ class Tracker:
                         prediction[1] + self.smooth_alpha * r_doppler,
                         meas[2]))
                     rec.acceleration += self.smooth_beta * r_doppler / t
+                elif self.smooth == "kalman" and t > 0:
+                    self._kf_update(rec, meas, prediction, t)
                 else:
                     rec.associate(meas)
                     if t > 0:
@@ -149,6 +176,12 @@ class Tracker:
                 used[j] = True
             else:
                 rec.current = prediction
+                if self.smooth == "kalman" and rec.kf_p is not None \
+                        and t > 0:
+                    # Coast: the state propagated through predict();
+                    # propagate the covariance too, so the gains stay
+                    # consistent after a missed CPI.
+                    rec.kf_p = self._kf_predict_cov(rec.kf_p, t)
                 if rec.state == TrackState.ACTIVE:
                     rec.states.append(TrackState.COASTING)
                 elif rec.state == TrackState.ASSOCIATED:
@@ -161,6 +194,46 @@ class Tracker:
 
         for rec in to_remove:
             self.store.remove(rec)
+
+    def _kf_transition(self, t: float) -> np.ndarray:
+        """State transition over Δt for x = (delay bins, doppler Hz,
+        accel Hz/s) — the linearization of :meth:`predict` (same units,
+        including the reference's unscaled ½·a·t² delay term)."""
+        rr, lam = self.range_res, self.wavelength
+        return np.array([[1.0, t * lam / rr, 0.5 * t * t / rr],
+                         [0.0, 1.0, t],
+                         [0.0, 0.0, 1.0]])
+
+    def _kf_predict_cov(self, p: np.ndarray, t: float) -> np.ndarray:
+        f = self._kf_transition(t)
+        g = np.array([0.5 * t * t / self.range_res, t, 1.0])
+        q = (self.kalman_q ** 2) * t * np.outer(g, g)
+        return f @ p @ f.T + q
+
+    def _kf_update(self, rec, meas, prediction, t: float) -> None:
+        """Per-track 3-state Kalman step: covariance predict, gain from
+        the innovation covariance, state/accel update. The mean predict
+        already happened via :meth:`predict` (shared with the other
+        smoothing modes, so the association gate sees the same point)."""
+        if rec.kf_p is None:
+            # Initiation covariance: measurement-sized position/velocity
+            # uncertainty, full acceleration-hypothesis-grid spread.
+            rec.kf_p = np.diag([self.kalman_r_delay ** 2,
+                                self.kalman_r_doppler ** 2,
+                                max(self.max_acc_init, 1e-3) ** 2])
+        p = self._kf_predict_cov(rec.kf_p, t)
+        x_pred = np.array([prediction[0], prediction[1], rec.acceleration])
+        nu = np.array([meas[0] - x_pred[0], meas[1] - x_pred[1]])
+        r = np.diag([self.kalman_r_delay ** 2, self.kalman_r_doppler ** 2])
+        s = p[:2, :2] + r
+        k = np.linalg.solve(s.T, p[:, :2].T).T          # P Hᵀ S⁻¹
+        x = x_pred + k @ nu
+        i_kh = np.eye(3)
+        i_kh[:, :2] -= k                                 # I − K H
+        p = i_kh @ p
+        rec.kf_p = 0.5 * (p + p.T)
+        rec.associate((float(x[0]), float(x[1]), meas[2]))
+        rec.acceleration = float(x[2])
 
     def _initiate(self, detection: Detection, used) -> None:
         for j in range(detection.n_detections):

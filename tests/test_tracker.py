@@ -160,3 +160,69 @@ def test_smooth_config_validation():
     with pytest.raises(ValueError):
         Tracker(3, 5, 4, 1.0, 0.5, RANGE_RES, LAMBDA,
                 smooth="alpha-beta", smooth_alpha=0.0)
+    with pytest.raises(ValueError):
+        Tracker(3, 5, 4, 1.0, 0.5, RANGE_RES, LAMBDA,
+                smooth="kalman", kalman_q=0.0)
+    with pytest.raises(ValueError):
+        Tracker(3, 5, 4, 1.0, 0.5, RANGE_RES, LAMBDA,
+                smooth="kalman", kalman_r_delay=-1.0)
+
+
+# -- Kalman smoothing (tracker.smooth: kalman, round 3) -----------------------
+
+def test_kalman_smoothing_reduces_jitter():
+    """Same constant-velocity noisy scene as the alpha-beta test: the KF
+    must beat raw measurements on both axes (its gains shrink as the
+    covariance converges, so late-track jitter rejection exceeds fixed
+    alpha-beta gains)."""
+    truth, meas = _noisy_cv_scene()
+    raw = _run_track(
+        Tracker(3, 5, 4, 1.0, 0.5, RANGE_RES, LAMBDA, smooth="none"), meas)
+    kf = _run_track(
+        Tracker(3, 5, 4, 1.0, 0.5, RANGE_RES, LAMBDA, smooth="kalman"),
+        meas)
+    e_raw = np.sqrt(np.mean((raw[10:, 0] - truth[10:, 0]) ** 2))
+    e_kf = np.sqrt(np.mean((kf[10:, 0] - truth[10:, 0]) ** 2))
+    assert e_kf < 0.8 * e_raw, (e_kf, e_raw)
+    f_raw = np.sqrt(np.mean((raw[10:, 1] - truth[10:, 1]) ** 2))
+    f_kf = np.sqrt(np.mean((kf[10:, 1] - truth[10:, 1]) ** 2))
+    assert f_kf < 0.5 * f_raw, (f_kf, f_raw)
+
+
+def test_kalman_follows_accelerating_target():
+    """Constant-acceleration manoeuvre: the KF's accel state must
+    converge to truth and the track must never coast (same harness as
+    the alpha-beta manoeuvre test)."""
+    n, acc = 30, 0.4
+    doppler0 = -20.0
+    meas, delay = [], 100.0
+    for k in range(n):
+        doppler = doppler0 + acc * k
+        meas.append((delay, doppler))
+        delay += (doppler + 0.5 * acc) * LAMBDA / RANGE_RES
+    trk = Tracker(3, 5, 4, 1.0, 0.5, RANGE_RES, LAMBDA, smooth="kalman")
+    hist = _run_track(trk, meas)
+    assert abs(hist[-1][1] - meas[-1][1]) < 0.2
+    assert len(trk.store) == 1
+    best = trk.store.tracks[0]
+    assert TrackState.COASTING not in best.states
+    np.testing.assert_allclose(best.acceleration, acc, atol=0.05)
+    # Covariance stayed symmetric positive-definite through the run.
+    p = np.asarray(best.kf_p)
+    np.testing.assert_allclose(p, p.T, atol=1e-12)
+    assert np.all(np.linalg.eigvalsh(p) > 0)
+
+
+def test_kalman_coast_propagates_covariance():
+    """A missed CPI must grow the coasting track's covariance (the gate
+    and gains then reflect the extra prediction uncertainty)."""
+    trk = Tracker(3, 5, 8, 1.0, 0.5, RANGE_RES, LAMBDA, smooth="kalman")
+    meas = [(100.0, -20.0), (100.0 - 20.0 * LAMBDA / RANGE_RES, -20.0)]
+    trk.process(Detection([meas[0][0]], [meas[0][1]], [15.0]), 0)
+    trk.process(Detection([meas[1][0]], [meas[1][1]], [15.0]), 1000)
+    best = max(trk.store.tracks, key=lambda r: len(r.states))
+    p_before = np.asarray(best.kf_p).copy()
+    # Empty detection set: every track coasts.
+    trk.process(Detection([], [], []), 2000)
+    p_after = np.asarray(best.kf_p)
+    assert np.trace(p_after) > np.trace(p_before)
