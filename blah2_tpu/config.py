@@ -57,6 +57,12 @@ class SpectrumConfig:
     # The reference hardcodes the analyser bandwidth to 2 kHz
     # (`src/blah2.cpp:198`); schema extension exposing it.
     bandwidth: float = 2000.0
+    #: Sub-CPI spectra (schema extension implementing the reference's
+    #: `SpectrumAnalyser.h:6` TODO "create k spectrum plots from
+    #: sub-CPIs"): with nSub=k>1 the CPI splits into k equal segments and
+    #: the IQ product carries a (k, n_spectrum) `subSpectra` waterfall
+    #: alongside the full-CPI spectrum. Single-chip pipeline only.
+    n_sub: int = 1
 
 
 @dataclasses.dataclass
@@ -226,6 +232,7 @@ def config_from_dict(doc: Dict[str, Any]) -> Config:
     spec = proc.get("spectrum", {}) or {}
     cfg.process.spectrum = SpectrumConfig(
         bandwidth=float(spec.get("bandwidth", 2000.0)),
+        n_sub=int(spec.get("nSub", 1)),
     )
     trk = proc.get("tracker", {}) or {}
     cfg.process.tracker = TrackerConfig(

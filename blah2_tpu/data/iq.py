@@ -126,10 +126,19 @@ class IqMetadata:
     def __init__(self):
         self.frequency_khz = np.zeros(0, dtype=np.float64)
         self.spectrum_db = np.zeros(0, dtype=np.float64)
+        # Sub-CPI spectra (process.spectrum.nSub, `SpectrumAnalyser.h:6`
+        # TODO): (k, n_spectrum) dB or None. Retained across CPIs whose
+        # pipeline output omits them (staged timing samples), so the
+        # product never flickers.
+        self.sub_spectra_db = None
 
-    def update(self, frequency_khz: np.ndarray, spectrum_db: np.ndarray) -> None:
+    def update(self, frequency_khz: np.ndarray, spectrum_db: np.ndarray,
+               sub_spectra_db=None) -> None:
         self.frequency_khz = np.asarray(frequency_khz, dtype=np.float64)
         self.spectrum_db = np.asarray(spectrum_db, dtype=np.float64)
+        if sub_spectra_db is not None:
+            self.sub_spectra_db = np.asarray(sub_spectra_db,
+                                             dtype=np.float64)
 
     def to_json(self, timestamp_ms: int) -> str:
         import json
@@ -147,4 +156,9 @@ class IqMetadata:
                 np.nan_to_num(spec, nan=0.0, posinf=0.0, neginf=0.0),
                 2).tolist(),
         }
+        if self.sub_spectra_db is not None:
+            doc["subSpectra"] = np.round(
+                np.nan_to_num(self.sub_spectra_db,
+                              nan=0.0, posinf=0.0, neginf=0.0),
+                2).tolist()
         return json.dumps(doc, separators=(",", ":"))

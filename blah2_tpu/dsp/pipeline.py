@@ -33,6 +33,9 @@ class CpiOutputs(NamedTuple):
     spectrum_db: jnp.ndarray   # (n_spectrum,) dB
     clutter_ok: jnp.ndarray    # bool scalar
     detections: Optional[CfarDetections]
+    # Sub-CPI spectra (process.spectrum.nSub > 1, `SpectrumAnalyser.h:6`
+    # TODO): (k, n_spectrum) dB, None when disabled.
+    sub_spectra_db: Optional[jnp.ndarray] = None
 
 
 def _empty_detections() -> CfarDetections:
@@ -90,6 +93,22 @@ class CpiPipeline:
         # process.spectrum.bandwidth config key (SURVEY §2.1 fix), and fc
         # is plumbed from config too.
         self.spectrum = SpectrumAnalyser(n, spectrum_bandwidth, cap.fc, dtype=dtype)
+        # Sub-CPI spectra (`SpectrumAnalyser.h:6` TODO, schema extension
+        # process.spectrum.nSub): k segments of n//k samples, each through
+        # its own analyser geometry (same bandwidth => same n_spectrum bin
+        # count and frequency axis, coarser underlying resolution).
+        self.spectrum_sub: Optional[SpectrumAnalyser] = None
+        self.n_spectrum_sub = int(getattr(
+            getattr(proc, "spectrum", None), "n_sub", 1) or 1)
+        if self.n_spectrum_sub > 1:
+            n_seg = n // self.n_spectrum_sub
+            if n_seg < spectrum_bandwidth:
+                raise ValueError(
+                    f"process.spectrum.nSub={self.n_spectrum_sub} leaves "
+                    f"segments of {n_seg} samples — fewer than the "
+                    f"{spectrum_bandwidth:.0f} analyser bins")
+            self.spectrum_sub = SpectrumAnalyser(
+                n_seg, spectrum_bandwidth, cap.fc, dtype=dtype)
 
         self.detection_enabled = proc.detection.enable
         self.cfar: Optional[CfarDetector] = None
@@ -145,6 +164,12 @@ class CpiPipeline:
             x = jax.lax.complex(xp[:, 0], xp[:, 1]).astype(dtype)
             y = jax.lax.complex(yp[:, 0], yp[:, 1]).astype(dtype)
             spec_db = SpectrumAnalyser.to_db(self.spectrum(x))
+            sub_db = None
+            if self.spectrum_sub is not None:
+                k, ns = self.n_spectrum_sub, self.spectrum_sub.n_samples
+                xs = x[: k * ns].reshape(k, ns)
+                sub_db = SpectrumAnalyser.to_db(
+                    jax.vmap(self.spectrum_sub)(xs))
             if self.clutter is not None:
                 y, clutter_ok = self.clutter(x, y)
             else:
@@ -168,6 +193,7 @@ class CpiPipeline:
                 spectrum_db=spec_db,
                 clutter_ok=clutter_ok,
                 detections=det,
+                sub_spectra_db=sub_db,
             )
 
         self._fn = jax.jit(fn) if use_jit else fn
@@ -210,6 +236,20 @@ class CpiPipeline:
 
         def stage_spectrum(xp):
             return SpectrumAnalyser.to_db(self.spectrum(_complex_of(xp)))
+
+        # Sub-CPI spectra for the staged path (the fused program computes
+        # them inline; staged samples call this outside the timed marks so
+        # the timing split stays a pure reference-stage measurement).
+        self.sub_spectra_fn = None
+        if self.spectrum_sub is not None:
+            def sub_fn(xp):
+                x = _complex_of(xp)
+                k, ns = self.n_spectrum_sub, self.spectrum_sub.n_samples
+                xs = x[: k * ns].reshape(k, ns)
+                return SpectrumAnalyser.to_db(
+                    jax.vmap(self.spectrum_sub)(xs))
+
+            self.sub_spectra_fn = jax.jit(sub_fn)
 
         def stage_clutter(xp, yp):
             x = _complex_of(xp)

@@ -133,12 +133,21 @@ class IqDataStash:
         except json.JSONDecodeError:
             return
         with self._lock:
-            for store, key in ((self._spectrum, "spectrum"),
-                               (self._frequency, "frequency"),
-                               (self._timestamp, "timestamp")):
-                store.append(doc.get(key))
-                if len(store) > self.N_CPI:
-                    store.pop(0)
+            # Sub-CPI spectra (process.spectrum.nSub): each CPI contributes
+            # its k sub-rows to the waterfall instead of one full-CPI row —
+            # a k×-finer time axis over the same N_CPI window
+            # (`SpectrumAnalyser.h:6` TODO "k spectrum plots from sub-CPIs").
+            sub = doc.get("subSpectra")
+            rows = sub if sub else [doc.get("spectrum")]
+            n_keep = self.N_CPI * max(1, len(rows))
+            for r in rows:
+                self._spectrum.append(r)
+                self._frequency.append(doc.get("frequency"))
+                self._timestamp.append(doc.get("timestamp"))
+            while len(self._spectrum) > n_keep:
+                self._spectrum.pop(0)
+                self._frequency.pop(0)
+                self._timestamp.pop(0)
             doc["spectrum"] = list(self._spectrum)
             doc["frequency"] = list(self._frequency)
             doc["timestamp"] = list(self._timestamp)

@@ -466,6 +466,12 @@ class RadarRuntime:
         for name, ms in zip(st.names, st.times_ms):
             self.timer.record(name, ms)
         self._sample_stage_ms = dict(zip(st.names, st.times_ms))
+        if p.sub_spectra_fn is not None:
+            # Sub-CPI spectra (fused CPIs compute them inline): computed
+            # after the marks so the staged timing stays a pure
+            # reference-stage measurement.
+            out = out._replace(sub_spectra_db=jax.device_get(
+                p.sub_spectra_fn(xp)))
         return out
 
     def _record_device_split(self, total_ms: float) -> None:
@@ -624,9 +630,11 @@ class RadarRuntime:
         t_ser0 = time.perf_counter()
         tracker_ms = 0.0
 
-        # IqData metadata (spectrum)
+        # IqData metadata (spectrum, plus sub-CPI spectra when enabled)
+        sub = getattr(out, "sub_spectra_db", None)
         self.iq_meta.update(self.pipeline.spectrum.frequency_khz,
-                            np.asarray(out.spectrum_db))
+                            np.asarray(out.spectrum_db),
+                            None if sub is None else np.asarray(sub))
         iq_json = self.iq_meta.to_json(t0)
         self._emit("iqdata", iq_json)
         emitted["iqdata"] = iq_json

@@ -1,0 +1,152 @@
+"""Sub-CPI spectra (process.spectrum.nSub — implements the reference's
+`SpectrumAnalyser.h:6` TODO "Potentially create k spectrum plots from
+sub-CPIs"; schema extension, single-chip pipeline).
+
+The CPI splits into k equal segments; each runs the same
+decimate-by-folding analyser at the segment length (same bandwidth ⇒ the
+same n_spectrum bin count and frequency axis, coarser underlying
+resolution). The IQ product gains a (k, n_spectrum) ``subSpectra`` member
+and the iqdata stash turns it into a k×-finer waterfall.
+"""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from blah2_tpu.capture.synthetic import TargetSpec, synthetic_cpi
+from blah2_tpu.config import config_from_dict
+from blah2_tpu.data.iq import IqMetadata
+from blah2_tpu.dsp.pipeline import CpiPipeline
+from blah2_tpu.net.stash import IqDataStash
+
+
+def _config(n_sub=4, fs=80_000, cpi=0.2):
+    return config_from_dict({
+        "capture": {"fs": fs, "fc": 204_640_000},
+        "process": {
+            "data": {"cpi": cpi, "buffer": 2},
+            "ambiguity": {"delayMin": -5, "delayMax": 60,
+                          "dopplerMin": -100, "dopplerMax": 100},
+            "clutter": {"enable": True, "delayMin": -5, "delayMax": 30},
+            "detection": {"enable": True, "pfa": 1e-5, "nGuard": 2,
+                          "nTrain": 6, "minDelay": 5, "minDoppler": 15,
+                          "nCentroid": 6},
+            "spectrum": {"bandwidth": 2000.0, "nSub": n_sub},
+        },
+    })
+
+
+def _spectrum_oracle_db(x, bandwidth):
+    """Brute-force reference semantics (`SpectrumAnalyser.cpp:16-55`):
+    full nfft-point FFT, bin permutation, stride decimation."""
+    n = len(x)
+    dec = int(n / bandwidth)
+    ns = n // dec
+    nfft = ns * dec
+    f = np.fft.fft(np.asarray(x[:nfft], complex))
+    sel = (np.arange(ns) * dec + nfft // 2 + 1) % nfft
+    return 10.0 * np.log10(np.abs(f[sel]))
+
+
+def test_sub_spectra_match_per_segment_oracle():
+    cfg = _config(n_sub=4)
+    x, y = synthetic_cpi(cfg.n_samples, cfg.capture.fs,
+                         [TargetSpec(20, -44.0, 0.1)],
+                         clutter_amplitude=2.0, noise_amplitude=1e-3,
+                         seed=9)
+    pipe = CpiPipeline(cfg, dtype=jnp.complex128)
+    out = pipe(jnp.asarray(x), jnp.asarray(y))
+    sub = np.asarray(out.sub_spectra_db)
+    ns = pipe.spectrum.n_spectrum
+    n_seg = pipe.spectrum_sub.n_samples
+    assert sub.shape == (4, ns)
+    assert n_seg == cfg.n_samples // 4
+    for k in range(4):
+        want = _spectrum_oracle_db(x[k * n_seg:(k + 1) * n_seg],
+                                   cfg.process.spectrum.bandwidth)
+        np.testing.assert_allclose(sub[k], want, rtol=1e-8, atol=1e-8)
+    # The full-CPI spectrum is still the reference-exact one.
+    want_full = _spectrum_oracle_db(x, cfg.process.spectrum.bandwidth)
+    np.testing.assert_allclose(np.asarray(out.spectrum_db), want_full,
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_sub_spectra_disabled_by_default():
+    cfg = _config(n_sub=1)
+    x, y = synthetic_cpi(cfg.n_samples, cfg.capture.fs,
+                         [TargetSpec(20, -44.0, 0.1)], seed=3)
+    pipe = CpiPipeline(cfg)
+    assert pipe.spectrum_sub is None
+    out = pipe(jnp.asarray(x, jnp.complex64), jnp.asarray(y, jnp.complex64))
+    assert out.sub_spectra_db is None
+
+
+def test_n_sub_too_large_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="nSub"):
+        CpiPipeline(_config(n_sub=64, fs=40_000, cpi=0.1))
+
+
+def test_iq_json_and_stash_carry_sub_spectra():
+    meta = IqMetadata()
+    freq = np.linspace(204_000.0, 204_100.0, 8)
+    spec = np.arange(8.0)
+    sub = np.stack([spec + 10.0, spec + 20.0])
+    meta.update(freq, spec, sub)
+    doc = json.loads(meta.to_json(1234))
+    assert np.asarray(doc["subSpectra"]).shape == (2, 8)
+
+    stash = IqDataStash()
+    stash.update(meta.to_json(1234))
+    stash.update(meta.to_json(1235))
+    d = json.loads(stash.get())
+    # Two CPIs x 2 sub-rows each = 4 waterfall rows, newest last.
+    assert len(d["spectrum"]) == 4
+    np.testing.assert_allclose(d["spectrum"][-1], sub[1])
+    # A staged-sample CPI omits sub spectra: the product retains the
+    # previous ones instead of flickering to nothing.
+    meta.update(freq, spec, None)
+    doc2 = json.loads(meta.to_json(1236))
+    assert np.asarray(doc2["subSpectra"]).shape == (2, 8)
+
+    # Window cap: N_CPI x k rows.
+    for t in range(50):
+        stash.update(meta.to_json(2000 + t))
+    d = json.loads(stash.get())
+    assert len(d["spectrum"]) == IqDataStash.N_CPI * 2
+
+
+def test_runtime_emits_sub_spectra():
+    """Full runtime loop: /api-bound iqdata JSON carries subSpectra on
+    every CPI (including fused ones after a staged timing sample)."""
+    from blah2_tpu.config import load_config
+    from blah2_tpu.runtime.radar import RadarRuntime
+
+    cfg = load_config("config/config-synthetic.yml")
+    cfg.process.spectrum.n_sub = 4
+    rt = RadarRuntime(cfg, staged_sample_every=2, staged_warmup="sync")
+    docs = []
+    orig = rt._emit
+
+    def capture(product, payload):
+        if product == "iqdata":
+            docs.append(json.loads(payload))
+        return orig(product, payload)
+
+    rt._emit = capture
+    rt.start_capture()
+    try:
+        rt.run(n_cpis=3, quiet=True)
+    finally:
+        rt.stop()
+    assert len(docs) == 3
+    k = None
+    for doc in docs:
+        assert "subSpectra" in doc
+        sub = np.asarray(doc["subSpectra"], dtype=float)
+        assert sub.ndim == 2 and sub.shape[0] == 4
+        assert np.all(np.isfinite(sub))
+        k = sub.shape
+    assert k is not None
