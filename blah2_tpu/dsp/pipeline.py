@@ -94,21 +94,27 @@ class CpiPipeline:
         # is plumbed from config too.
         self.spectrum = SpectrumAnalyser(n, spectrum_bandwidth, cap.fc, dtype=dtype)
         # Sub-CPI spectra (`SpectrumAnalyser.h:6` TODO, schema extension
-        # process.spectrum.nSub): k segments of n//k samples, each through
-        # its own analyser geometry (same bandwidth => same n_spectrum bin
-        # count and frequency axis, coarser underlying resolution).
+        # process.spectrum.nSub): k segments of n//k samples. The sub
+        # analyser's bin count AND offset parity are pinned to the
+        # full-CPI analyser's, so every waterfall row shares the one
+        # emitted frequency axis (a free-running sub geometry diverges at
+        # production scale: n=1.5e6, nSub=4 gives 2005 bins vs 2000 — and
+        # a 2005-point FFT sits on the exotic-size compile cliff).
         self.spectrum_sub: Optional[SpectrumAnalyser] = None
         self.n_spectrum_sub = int(getattr(
             getattr(proc, "spectrum", None), "n_sub", 1) or 1)
         if self.n_spectrum_sub > 1:
             n_seg = n // self.n_spectrum_sub
-            if n_seg < spectrum_bandwidth:
+            if n_seg < 2 * self.spectrum.n_spectrum:
                 raise ValueError(
                     f"process.spectrum.nSub={self.n_spectrum_sub} leaves "
-                    f"segments of {n_seg} samples — fewer than the "
-                    f"{spectrum_bandwidth:.0f} analyser bins")
+                    f"segments of {n_seg} samples — need at least "
+                    f"2x{self.spectrum.n_spectrum} for the shared "
+                    f"spectrum-bin geometry")
             self.spectrum_sub = SpectrumAnalyser(
-                n_seg, spectrum_bandwidth, cap.fc, dtype=dtype)
+                n_seg, spectrum_bandwidth, cap.fc, dtype=dtype,
+                n_spectrum=self.spectrum.n_spectrum,
+                offset_even=self.spectrum.decimation % 2 == 0)
 
         self.detection_enabled = proc.detection.enable
         self.cfar: Optional[CfarDetector] = None
@@ -164,12 +170,8 @@ class CpiPipeline:
             x = jax.lax.complex(xp[:, 0], xp[:, 1]).astype(dtype)
             y = jax.lax.complex(yp[:, 0], yp[:, 1]).astype(dtype)
             spec_db = SpectrumAnalyser.to_db(self.spectrum(x))
-            sub_db = None
-            if self.spectrum_sub is not None:
-                k, ns = self.n_spectrum_sub, self.spectrum_sub.n_samples
-                xs = x[: k * ns].reshape(k, ns)
-                sub_db = SpectrumAnalyser.to_db(
-                    jax.vmap(self.spectrum_sub)(xs))
+            sub_db = None if self.spectrum_sub is None \
+                else self._sub_spectra_db(x)
             if self.clutter is not None:
                 y, clutter_ok = self.clutter(x, y)
             else:
@@ -238,18 +240,13 @@ class CpiPipeline:
             return SpectrumAnalyser.to_db(self.spectrum(_complex_of(xp)))
 
         # Sub-CPI spectra for the staged path (the fused program computes
-        # them inline; staged samples call this outside the timed marks so
-        # the timing split stays a pure reference-stage measurement).
+        # them inline via the same _sub_spectra_db; staged samples call
+        # this outside the timed marks so the timing split stays a pure
+        # reference-stage measurement).
         self.sub_spectra_fn = None
         if self.spectrum_sub is not None:
-            def sub_fn(xp):
-                x = _complex_of(xp)
-                k, ns = self.n_spectrum_sub, self.spectrum_sub.n_samples
-                xs = x[: k * ns].reshape(k, ns)
-                return SpectrumAnalyser.to_db(
-                    jax.vmap(self.spectrum_sub)(xs))
-
-            self.sub_spectra_fn = jax.jit(sub_fn)
+            self.sub_spectra_fn = jax.jit(
+                lambda xp: self._sub_spectra_db(_complex_of(xp)))
 
         def stage_clutter(xp, yp):
             x = _complex_of(xp)
@@ -280,6 +277,14 @@ class CpiPipeline:
         self.stage_clutter = jax.jit(stage_clutter)
         self.stage_ambiguity = jax.jit(stage_ambiguity)
         self.stage_detect = jax.jit(stage_detect)
+
+    def _sub_spectra_db(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(k, n_spectrum) dB sub-CPI spectra of the complex CPI — the one
+        segment-slicing implementation shared by the fused program and the
+        staged-path `sub_spectra_fn`."""
+        k, n_seg = self.n_spectrum_sub, self.spectrum_sub.n_samples
+        xs = x[: k * n_seg].reshape(k, n_seg)
+        return SpectrumAnalyser.to_db(jax.vmap(self.spectrum_sub)(xs))
 
     @staticmethod
     def to_planes(x, plane_dtype=jnp.float32):

@@ -33,14 +33,35 @@ class SpectrumAnalyser:
         bandwidth: float = 2000.0,
         fc: float = 204_640_000.0,
         dtype=jnp.complex64,
+        n_spectrum: int | None = None,
+        offset_even: bool | None = None,
     ):
+        """Default geometry is the reference's: decimation = n/bandwidth,
+        n_spectrum = n//decimation. ``n_spectrum`` overrides the bin count
+        directly (sub-CPI analysers pin it to the full-CPI analyser's so
+        every spectrum row shares one frequency axis), with decimation =
+        n//n_spectrum; ``offset_even`` then coerces the decimation's
+        parity (down by one) so the half-bin frequency offset — which the
+        axis formula keys on decimation parity — matches the full-CPI
+        analyser's too."""
         self.n_samples = int(n_samples)
         self.bandwidth = float(bandwidth)
         self.fc = float(fc)
         self.dtype = dtype
 
-        self.decimation = int(self.n_samples / self.bandwidth)
-        self.n_spectrum = self.n_samples // self.decimation
+        if n_spectrum is None:
+            self.decimation = int(self.n_samples / self.bandwidth)
+            self.n_spectrum = self.n_samples // self.decimation
+        else:
+            self.n_spectrum = int(n_spectrum)
+            self.decimation = self.n_samples // self.n_spectrum
+            if offset_even is not None and \
+                    (self.decimation % 2 == 0) != offset_even:
+                self.decimation -= 1
+            if self.decimation < 1:
+                raise ValueError(
+                    f"n_samples={self.n_samples} too short for "
+                    f"{self.n_spectrum} spectrum bins")
         self.nfft = self.n_spectrum * self.decimation
 
         ns, dec, nfft = self.n_spectrum, self.decimation, self.nfft

@@ -124,6 +124,11 @@ class IqDataStash:
         self._spectrum: List[Any] = []
         self._frequency: List[Any] = []
         self._timestamp: List[Any] = []
+        #: rows contributed by each retained CPI doc (subSpectra docs
+        #: contribute k rows) — retention is counted in CPIs, not rows,
+        #: so a doc without subSpectra amid sub-carrying ones never
+        #: collapses the window.
+        self._rows_per_doc: List[int] = []
         self._latest: Dict[str, Any] = {}
         self._lock = threading.Lock()
 
@@ -139,15 +144,16 @@ class IqDataStash:
             # (`SpectrumAnalyser.h:6` TODO "k spectrum plots from sub-CPIs").
             sub = doc.get("subSpectra")
             rows = sub if sub else [doc.get("spectrum")]
-            n_keep = self.N_CPI * max(1, len(rows))
             for r in rows:
                 self._spectrum.append(r)
                 self._frequency.append(doc.get("frequency"))
                 self._timestamp.append(doc.get("timestamp"))
-            while len(self._spectrum) > n_keep:
-                self._spectrum.pop(0)
-                self._frequency.pop(0)
-                self._timestamp.pop(0)
+            self._rows_per_doc.append(len(rows))
+            while len(self._rows_per_doc) > self.N_CPI:
+                n = self._rows_per_doc.pop(0)
+                del self._spectrum[:n]
+                del self._frequency[:n]
+                del self._timestamp[:n]
             doc["spectrum"] = list(self._spectrum)
             doc["frequency"] = list(self._frequency)
             doc["timestamp"] = list(self._timestamp)

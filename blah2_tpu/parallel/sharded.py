@@ -690,30 +690,50 @@ def calibrate_row_shard(config: Config, mesh: Mesh, n_trials: int = 3,
     from ICI — so on real hardware the static default can be wrong exactly
     where it matters. This runs one step per layout per trial on random
     planes (compile excluded; best-of-``n_trials`` to ride out tenancy)
-    and returns ``{"row_shard": bool, "ms_on": .., "ms_off": ..}``.
-    Wire it via ``RadarRuntime(row_shard="calibrate")`` or
-    ``--row-shard calibrate``; the measured decision is logged and cached
-    for the process lifetime."""
+    and returns ``{"row_shard": bool, "ms_on": .., "ms_off": ..,
+    "pipeline": <the winning ShardedCpiPipeline>}`` (already compiled —
+    callers should use it rather than rebuilding). Wire it via
+    ``RadarRuntime(row_shard="calibrate")`` or ``--row-shard calibrate``;
+    the measured decision is logged."""
     import time
+
+    def force(out):
+        # Force true completion with a SMALL fetch. On multi-host meshes
+        # the output spans non-addressable devices; fetch only this
+        # process's shard (each host times its local completion).
+        leaf = out.noise_power
+        shards = getattr(leaf, "addressable_shards", None)
+        if shards is not None and jax.process_count() > 1:
+            np.asarray(shards[0].data)
+        else:
+            np.asarray(leaf)
 
     rng = np.random.default_rng(0)
     b = mesh.shape["cpi"]
     ms: dict = {}
+    pipes: dict = {}
     for name, flag in (("ms_on", True), ("ms_off", False)):
         pipe = ShardedCpiPipeline(config, mesh, row_shard=flag,
                                   **pipeline_kw)
+        pipes[flag] = pipe
         n = config.n_samples
         xb = (rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n)))
         yb = (rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n)))
         xj, yj = pipe.shard_inputs(xb, yb)
-        out = pipe(xj, yj)  # compile + warm
-        np.asarray(out.noise_power)  # force completion (axon transport)
+        force(pipe(xj, yj))  # compile + warm
         best = float("inf")
         for _ in range(n_trials):
             t0 = time.perf_counter()
-            out = pipe(xj, yj)
-            np.asarray(out.noise_power)
+            force(pipe(xj, yj))
             best = min(best, 1e3 * (time.perf_counter() - t0))
         ms[name] = best
     ms["row_shard"] = ms["ms_on"] <= ms["ms_off"]
+    if jax.process_count() > 1:
+        # All processes must run the SAME program: take rank 0's decision
+        # (per-host timings can disagree under load).
+        from jax.experimental import multihost_utils
+
+        ms["row_shard"] = bool(multihost_utils.broadcast_one_to_all(
+            np.asarray(ms["row_shard"])))
+    ms["pipeline"] = pipes[ms["row_shard"]]
     return ms

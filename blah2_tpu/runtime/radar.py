@@ -129,17 +129,19 @@ class RadarRuntime:
             if row_shard == "calibrate":
                 # Measure both Doppler-output layouts on the actual mesh
                 # (the static "auto" crossover came from the virtual CPU
-                # mesh; ICI cost ratios differ) and keep the winner.
+                # mesh; ICI cost ratios differ) and keep the winner —
+                # reusing its already-compiled pipeline.
                 cal = calibrate_row_shard(
                     config, mesh, max_detections=max_detections,
                     halo_backend=halo_backend)
-                row_shard = cal["row_shard"]
                 print(f"[mesh] row_shard calibration: "
                       f"on={cal['ms_on']:.1f} ms off={cal['ms_off']:.1f} ms "
-                      f"-> row_shard={row_shard}", flush=True)
-            self.sharded = ShardedCpiPipeline(
-                config, mesh, max_detections=max_detections,
-                halo_backend=halo_backend, row_shard=row_shard)
+                      f"-> row_shard={cal['row_shard']}", flush=True)
+                self.sharded = cal["pipeline"]
+            else:
+                self.sharded = ShardedCpiPipeline(
+                    config, mesh, max_detections=max_detections,
+                    halo_backend=halo_backend, row_shard=row_shard)
             self.cpi_batch = int(mesh.shape["cpi"])
 
         from blah2_tpu.native import make_ring_buffer
@@ -395,6 +397,12 @@ class RadarRuntime:
                 if self._stop.is_set():
                     return
                 det = p.stage_detect(z, db, noise)
+                if p.sub_spectra_fn is not None:
+                    # Sample CPIs also run the sub-CPI spectra program;
+                    # compile it here too or the first sample stalls the
+                    # stream behind its remote compile.
+                    sub = p.sub_spectra_fn(xp)
+                    jax.block_until_ready(sub)
                 jax.block_until_ready((spec, ok, noise, det.count))
             except Exception as e:  # never take down the CPI loop
                 print(f"[timing] staged warmup failed: {e}", flush=True)

@@ -42,11 +42,23 @@ def _spectrum_oracle_db(x, bandwidth):
     full nfft-point FFT, bin permutation, stride decimation."""
     n = len(x)
     dec = int(n / bandwidth)
-    ns = n // dec
+    return _decimated_oracle_db(x, dec, n // dec)
+
+
+def _decimated_oracle_db(x, dec, ns):
     nfft = ns * dec
     f = np.fft.fft(np.asarray(x[:nfft], complex))
     sel = (np.arange(ns) * dec + nfft // 2 + 1) % nfft
     return 10.0 * np.log10(np.abs(f[sel]))
+
+
+def _sub_oracle_db(x_seg, ns, offset_even):
+    """Sub-analyser geometry: bin count pinned to the full analyser's,
+    decimation parity coerced to match its frequency-offset convention."""
+    dec = len(x_seg) // ns
+    if (dec % 2 == 0) != offset_even:
+        dec -= 1
+    return _decimated_oracle_db(x_seg, dec, ns)
 
 
 def test_sub_spectra_match_per_segment_oracle():
@@ -62,9 +74,9 @@ def test_sub_spectra_match_per_segment_oracle():
     n_seg = pipe.spectrum_sub.n_samples
     assert sub.shape == (4, ns)
     assert n_seg == cfg.n_samples // 4
+    even = pipe.spectrum.decimation % 2 == 0
     for k in range(4):
-        want = _spectrum_oracle_db(x[k * n_seg:(k + 1) * n_seg],
-                                   cfg.process.spectrum.bandwidth)
+        want = _sub_oracle_db(x[k * n_seg:(k + 1) * n_seg], ns, even)
         np.testing.assert_allclose(sub[k], want, rtol=1e-8, atol=1e-8)
     # The full-CPI spectrum is still the reference-exact one.
     want_full = _spectrum_oracle_db(x, cfg.process.spectrum.bandwidth)
@@ -80,6 +92,46 @@ def test_sub_spectra_disabled_by_default():
     assert pipe.spectrum_sub is None
     out = pipe(jnp.asarray(x, jnp.complex64), jnp.asarray(y, jnp.complex64))
     assert out.sub_spectra_db is None
+
+
+def test_sub_analyser_geometry_pinned_at_production_scale():
+    """At the production 1.5 Msample CPI a free-running sub analyser
+    diverges (nSub=4 segment: dec=int(375000/2000)=187 -> 2005 bins vs
+    the full analyser's 2000, an exotic FFT size on TPU). The pinned
+    geometry must keep the bin count, offset parity and frequency axis
+    identical to the full-CPI analyser's."""
+    from blah2_tpu.dsp.spectrum import SpectrumAnalyser
+
+    full = SpectrumAnalyser(1_500_000, 2000.0)
+    assert full.n_spectrum == 2000 and full.decimation == 750
+    free = SpectrumAnalyser(375_000, 2000.0)
+    assert free.n_spectrum != full.n_spectrum  # the divergence being fixed
+    sub = SpectrumAnalyser(375_000, 2000.0,
+                           n_spectrum=full.n_spectrum,
+                           offset_even=full.decimation % 2 == 0)
+    assert sub.n_spectrum == full.n_spectrum
+    assert sub.decimation % 2 == full.decimation % 2 == 0
+    assert sub.decimation == 186  # 187 coerced down for parity
+    np.testing.assert_allclose(sub.frequency_khz, full.frequency_khz)
+
+
+def test_stash_cpi_window_survives_mixed_docs():
+    """Retention is counted in CPIs, not rows: a doc without subSpectra
+    arriving amid sub-carrying docs must not collapse the waterfall."""
+    meta = IqMetadata()
+    freq = np.linspace(204_000.0, 204_100.0, 8)
+    spec = np.arange(8.0)
+    sub = np.stack([spec + 10.0, spec + 20.0])
+    stash = IqDataStash()
+    for t in range(5):
+        meta.update(freq, spec, sub)
+        stash.update(meta.to_json(1000 + t))
+    plain = IqMetadata()
+    plain.update(freq, spec)
+    stash.update(plain.to_json(1010))
+    d = json.loads(stash.get())
+    # 5 sub docs x 2 rows + 1 plain row — nothing trimmed (6 CPIs < 20).
+    assert len(d["spectrum"]) == 11
 
 
 def test_n_sub_too_large_rejected():

@@ -93,6 +93,8 @@ def main() -> None:
             xc, yc, ok = pipe.stage_clutter(xp, xp)
             z, db, noise, mp = pipe.stage_ambiguity(xc, yc)
             det = pipe.stage_detect(z, db, noise)
+            if pipe.sub_spectra_fn is not None:
+                jax.block_until_ready(pipe.sub_spectra_fn(xp))
             jax.block_until_ready((spec, ok, noise, det.count))
 
         step(f"staged x4 ({np.dtype(dt).name} planes)", staged)
