@@ -61,7 +61,7 @@ class SpectrumConfig:
     #: `SpectrumAnalyser.h:6` TODO "create k spectrum plots from
     #: sub-CPIs"): with nSub=k>1 the CPI splits into k equal segments and
     #: the IQ product carries a (k, n_spectrum) `subSpectra` waterfall
-    #: alongside the full-CPI spectrum. Single-chip pipeline only.
+    #: alongside the full-CPI spectrum (single-chip and mesh pipelines).
     n_sub: int = 1
 
 

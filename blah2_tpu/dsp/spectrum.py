@@ -105,7 +105,7 @@ class SpectrumAnalyser:
         return out
 
     def fold_partial(self, x_loc: jnp.ndarray, offset,
-                     tw_pad: jnp.ndarray) -> jnp.ndarray:
+                     tw_pad: jnp.ndarray, bucket_origin=0) -> jnp.ndarray:
         """Local contribution to the folded (n_spectrum,) vector from a
         contiguous block at global sample ``offset``.
 
@@ -116,6 +116,11 @@ class SpectrumAnalyser:
         the shard_map let GSPMD all-gather the full nfft-sample CPI per
         rank — 6 MB/CPI at the default config, 2.7× the sharded input
         bytes; caught by `parallel/commstats` HLO auditing, r3.)
+
+        ``bucket_origin``: global sample index of fold bucket 0 — 0 for
+        the full-CPI spectrum; a segment's start for sub-CPI spectra
+        (whose twiddle rows are zero outside their segment, so the zero
+        extension doubles as the segment mask).
         """
         ns = self.n_spectrum
         L = x_loc.shape[-1]
@@ -125,9 +130,9 @@ class SpectrumAnalyser:
         if pad:
             prod = jnp.pad(prod, (0, pad))
         local = jnp.sum(prod.reshape(-1, ns), axis=0)
-        # Bucket j of the global fold is (offset + i) mod ns for local i:
-        # rotate the local sums to global bucket alignment.
-        return jnp.roll(local, offset % ns)
+        # Bucket j of the fold is (offset − bucket_origin + i) mod ns for
+        # local i: rotate the local sums to bucket alignment.
+        return jnp.roll(local, (offset - bucket_origin) % ns)
 
     def finish(self, folded: jnp.ndarray) -> jnp.ndarray:
         """Small n_spectrum-point FFT + reference bin permutation."""

@@ -157,6 +157,33 @@ class ShardedCpiPipeline:
         # partials — never reshards the CPI (see SpectrumAnalyser.fold_partial).
         self._spec_tw_pad = jnp.asarray(
             self.spectrum.twiddle_padded(self.n_pad))
+        # Sub-CPI spectra in mesh mode (process.spectrum.nSub, round 3 —
+        # same feature as CpiPipeline's, same pinned bin geometry): one
+        # zero-padded fold twiddle row per segment (zeros outside the
+        # segment double as its mask), each folded locally per rank and
+        # psum'd — k·n_spectrum extra psum bytes, never resharding the CPI.
+        self.spectrum_sub: Optional[SpectrumAnalyser] = None
+        self.n_spectrum_sub = int(getattr(
+            getattr(proc, "spectrum", None), "n_sub", 1) or 1)
+        if self.n_spectrum_sub > 1:
+            k_sub = self.n_spectrum_sub
+            n_seg = n // k_sub
+            if n_seg < 2 * self.spectrum.n_spectrum:
+                raise ValueError(
+                    f"process.spectrum.nSub={k_sub} leaves segments of "
+                    f"{n_seg} samples — need at least "
+                    f"2x{self.spectrum.n_spectrum} for the shared "
+                    f"spectrum-bin geometry")
+            self.spectrum_sub = SpectrumAnalyser(
+                n_seg, spectrum_bandwidth, cap.fc, dtype=dtype,
+                n_spectrum=self.spectrum.n_spectrum,
+                offset_even=self.spectrum.decimation % 2 == 0)
+            tw = np.asarray(self.spectrum_sub._twiddle).reshape(-1)
+            tw_rows = np.zeros((k_sub, self.n_pad), dtype=tw.dtype)
+            for s in range(k_sub):
+                tw_rows[s, s * n_seg:s * n_seg + tw.shape[0]] = tw
+            self._sub_tw_pad = jnp.asarray(tw_rows)
+            self._sub_seg_len = n_seg
 
         self.clutter_enabled = proc.clutter.enable
         kind = (getattr(proc.clutter, "filter", "wiener") or "wiener").lower()
@@ -588,19 +615,37 @@ class ShardedCpiPipeline:
                 fold = jax.lax.psum(
                     self.spectrum.fold_partial(x_loc, offset,
                                                self._spec_tw_pad), "pulse")
-                return z, ok, fold
+                if self.spectrum_sub is None:
+                    return z, ok, fold
+                # Sub-CPI spectra: one masked fold per segment (the
+                # segment-zeroed twiddle rows make out-of-segment samples
+                # vanish), psum'd as a (k, ns) stack.
+                subs = jnp.stack([
+                    self.spectrum_sub.fold_partial(
+                        x_loc, offset, self._sub_tw_pad[s],
+                        bucket_origin=s * self._sub_seg_len)
+                    for s in range(self.n_spectrum_sub)])
+                return z, ok, fold, jax.lax.psum(subs, "pulse")
 
             return jax.vmap(one_cpi)(x_blk, y_blk)
 
         z_spec = P("cpi", "pulse", None) if self._row_shard \
             else P("cpi", None, None)
-        z, clutter_ok, folded = jax.shard_map(
+        out_specs = (z_spec, P("cpi"), P("cpi", None))
+        if self.spectrum_sub is not None:
+            out_specs += (P("cpi", None, None),)
+        outs = jax.shard_map(
             block_fn,
             mesh=self.mesh,
             in_specs=(P("cpi", "pulse"), P("cpi", "pulse")),
-            out_specs=(z_spec, P("cpi"), P("cpi", None)),
+            out_specs=out_specs,
             check_vma=False,
         )(xb, yb)
+        if self.spectrum_sub is not None:
+            z, clutter_ok, folded, sub_folded = outs
+        else:
+            z, clutter_ok, folded = outs
+            sub_folded = None
         if self._row_shard:
             # Drop the phantom Doppler rows (row padding for psum_scatter)
             # and keep the row-sharded layout through metrics/CFAR — XLA
@@ -614,6 +659,10 @@ class ShardedCpiPipeline:
         # per CPI row; n_spectrum-point — partitioner-trivial).
         spec = jax.vmap(self.spectrum.finish)(folded)
         spec_db = SpectrumAnalyser.to_db(spec)
+        sub_db = None
+        if sub_folded is not None:
+            sub_db = SpectrumAnalyser.to_db(
+                jax.vmap(jax.vmap(self.spectrum_sub.finish))(sub_folded))
 
         if self.detection_enabled and self.fused_detector is not None:
             def fused_one(z_i):
@@ -641,6 +690,7 @@ class ShardedCpiPipeline:
         return CpiOutputs(
             db_map=db, noise_power=noise, max_power=max_power,
             spectrum_db=spec_db, clutter_ok=clutter_ok, detections=det,
+            sub_spectra_db=sub_db,
         )
 
     # -- public --------------------------------------------------------------

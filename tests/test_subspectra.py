@@ -170,6 +170,35 @@ def test_iq_json_and_stash_carry_sub_spectra():
     assert len(d["spectrum"]) == IqDataStash.N_CPI * 2
 
 
+def test_mesh_sub_spectra_match_single_chip():
+    """Mesh-mode sub spectra (per-segment masked folds + one (k, ns)
+    psum) must equal the single-chip pipeline's exactly — the segment
+    twiddle rows are zero outside their segment, so rank blocks
+    straddling a boundary contribute to both sides correctly."""
+    from blah2_tpu.parallel.mesh import make_radar_mesh
+    from blah2_tpu.parallel.sharded import ShardedCpiPipeline
+
+    cfg = _config(n_sub=4)
+    x, y = synthetic_cpi(cfg.n_samples, cfg.capture.fs,
+                         [TargetSpec(20, -44.0, 0.1)],
+                         clutter_amplitude=2.0, noise_amplitude=1e-3,
+                         seed=13)
+    single = CpiPipeline(cfg, dtype=jnp.complex128)
+    o1 = single(jnp.asarray(x), jnp.asarray(y))
+
+    mesh = make_radar_mesh(2, 4)
+    sp = ShardedCpiPipeline(cfg, mesh, dtype=jnp.complex128)
+    assert sp.spectrum_sub is not None
+    o2 = sp(*sp.shard_inputs(np.stack([x, x]), np.stack([y, y])))
+    sub1 = np.asarray(o1.sub_spectra_db)
+    sub2 = np.asarray(o2.sub_spectra_db)
+    assert sub2.shape == (2, 4, sp.spectrum.n_spectrum)
+    np.testing.assert_allclose(sub2[0], sub1, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o2.spectrum_db)[0],
+                               np.asarray(o1.spectrum_db),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_runtime_emits_sub_spectra():
     """Full runtime loop: /api-bound iqdata JSON carries subSpectra on
     every CPI (including fused ones after a staged timing sample)."""
