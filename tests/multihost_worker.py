@@ -88,6 +88,22 @@ def main() -> int:
               f"map {np.asarray(db).shape} ok={np.asarray(ok).tolist()}",
               flush=True)
 
+    # Cross-host row-shard calibration (round 3): every process must end
+    # up with rank 0's broadcast decision, and the local-shard forcing
+    # must not trip the non-addressable-fetch error.
+    from blah2_tpu.parallel.sharded import calibrate_row_shard
+
+    cal = calibrate_row_shard(cfg, make_radar_mesh(2, n_dev // 2),
+                              n_trials=1)
+    assert isinstance(cal["row_shard"], bool)
+    assert cal["pipeline"]._row_shard == cal["row_shard"]
+    agreed = multihost_utils.process_allgather(
+        np.asarray([cal["row_shard"]]), tiled=True)
+    assert np.all(agreed == agreed[0]), agreed
+    print(f"[rank {args.process_id}] calibrate: row_shard="
+          f"{cal['row_shard']} (on={cal['ms_on']:.1f} "
+          f"off={cal['ms_off']:.1f})", flush=True)
+
     if args.process_id == 0:
         np.savez(args.out, **results)
     multihost_utils.sync_global_devices("done")
