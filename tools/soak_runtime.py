@@ -42,6 +42,10 @@ def _rss_mb() -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpis", type=int, default=60)
+    ap.add_argument("--gc-every-window", action="store_true",
+                    help="gc.collect() after each window (leak triage: "
+                         "discriminates cycle-held buffers from native "
+                         "transport-client growth)")
     ap.add_argument("--fs", type=int, default=None,
                     help="override sample rate (CPU smoke testing)")
     ap.add_argument("--cpi", type=float, default=None)
@@ -81,6 +85,10 @@ def main() -> int:
             t_w = time.perf_counter()
             rt.run(n_cpis=done + step, quiet=True)
             done += step
+            if args.gc_every_window:
+                import gc
+
+                gc.collect()
             seg = timings[done - step:done]
             cpi_ms = sorted(d["cpi"] for d in seg)
             windows.append({
