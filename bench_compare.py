@@ -145,6 +145,46 @@ def main(argv=None) -> None:
             np.linalg.norm(outs["circular"] - outs["linear"])) / denom, 6)},
     })
 
+    # -- clutter canceller algorithms: wiener vs eca-b vs nlms ------------
+    # (production-selectable via process.clutter.filter; here compared on
+    # wall time and zero-Doppler suppression of the same clutter scene.)
+    from blah2_tpu.dsp.clutter_eca import make_clutter_filter
+
+    variants = []
+    e_in = float(np.sum(np.abs(y) ** 2))
+    for name in ("wiener", "eca-b", "nlms"):
+        ccfg = dict(proc["clutter"])
+        ccfg["filter"] = name
+
+        class _C:
+            delay_min = ccfg["delayMin"]
+            delay_max = ccfg["delayMax"]
+            filter = name
+            n_batches = 8
+            mu = 0.1
+
+        filt = make_clutter_filter(_C, n)
+
+        def _run(a, b, f=filt):
+            yf, ok = f(jax.lax.complex(a[:, 0], a[:, 1]),
+                       jax.lax.complex(b[:, 0], b[:, 1]))
+            return jnp.stack([jnp.real(yf), jnp.imag(yf)], -1), ok
+
+        run = jax.jit(_run)
+        yf, ok = run(xp, yp)
+        np.asarray(ok)
+        p = np.asarray(yf)
+        resid = float(np.sum(np.abs(p[:, 0] + 1j * p[:, 1]) ** 2))
+        wall = _best_ms(lambda: np.asarray(run(xp, yp)[1]), reps)
+        variants.append({
+            "name": name, "wall_ms": round(wall, 2),
+            "suppression_db": round(10 * np.log10(e_in / max(resid, 1e-30)),
+                                    2)})
+    results.append({
+        "comparison": "clutter_canceller_algorithm",
+        "variants": variants,
+    })
+
     # -- detection: fused Pallas vs composed XLA ops ----------------------
     pipes = {
         "pallas_fused": CpiPipeline(cfg, use_pallas=True),
