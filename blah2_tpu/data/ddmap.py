@@ -85,11 +85,20 @@ class DelayDopplerMap:
         return int(matches[0]) if matches.size else 0
 
     def to_json(self, timestamp_ms: int, fs_km: Optional[int] = None) -> str:
+        return self.to_json_parts(timestamp_ms, fs_km)[0]
+
+    def to_json_parts(self, timestamp_ms: int,
+                      fs_km: Optional[int] = None) -> tuple:
         """Serialize the map product. With ``fs_km`` the delay axis is
         emitted directly in bistatic km (what the reference achieves by
         mutating the axis before serializing, `Map.cpp:166-185`), avoiding
         a reparse of the full map. Rounding is vectorized: the map body is
-        the largest JSON product (≥100k values at full config)."""
+        the largest JSON product (≥100k values at full config).
+
+        Returns ``(full_json, head_json, db)``: the full document, the
+        document WITHOUT its ``data`` member (a complete JSON object — the
+        maxhold stash's zero-parse ``update_serialized`` input), and the
+        unrounded dB-minus-noise array the data member was built from."""
         from blah2_tpu import native
 
         db = np.nan_to_num(self.db() - self.noise_power,
@@ -116,9 +125,9 @@ class DelayDopplerMap:
             f'"nRows":{self.n_rows},"nCols":{self.n_cols},'
             f'"noisePower":{jsonfmt.round2(float(self.noise_power))},'
             f'"maxPower":{jsonfmt.round2(float(self.max_power))},'
+            f'"delay":{delay_json},"doppler":{doppler_json}'
         )
-        return (head + f'"delay":{delay_json},"doppler":{doppler_json},'
-                f'"data":{data_json}}}')
+        return (head + f',"data":{data_json}}}', head + "}", db)
 
     def delay_bin_to_km(self, json_str: str, fs: int) -> str:
         """Rewrite the delay axis of an emitted JSON doc to bistatic km."""

@@ -36,21 +36,25 @@ class Detection:
     def __len__(self) -> int:
         return self.n_detections
 
-    def to_json(self, timestamp_ms: int, fs_km: int = None) -> str:
-        """Serialize; with ``fs_km`` the delay values are emitted in
-        bistatic km directly (`Detection.cpp:108-130` semantics)."""
+    def to_doc(self, timestamp_ms: int, fs_km: int = None) -> dict:
+        """The product as a dict; with ``fs_km`` the delay values are
+        emitted in bistatic km directly (`Detection.cpp:108-130`
+        semantics)."""
         if fs_km is not None:
             scale = (SPEED_OF_LIGHT / float(fs_km)) / 1000.0
             delay = [round(d * scale, 2) for d in self.delay]
         else:
             delay = [round(d, 2) for d in self.delay]
-        doc = {
+        return {
             "timestamp": int(timestamp_ms),
             "delay": delay,
             "doppler": [round(d, 2) for d in self.doppler],
             "snr": [round(s, 2) for s in self.snr],
         }
-        return json.dumps(doc, separators=(",", ":"))
+
+    def to_json(self, timestamp_ms: int, fs_km: int = None) -> str:
+        return json.dumps(self.to_doc(timestamp_ms, fs_km),
+                          separators=(",", ":"))
 
     def delay_bin_to_km(self, json_str: str, fs: int) -> str:
         doc = json.loads(json_str)

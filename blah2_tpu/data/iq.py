@@ -140,9 +140,7 @@ class IqMetadata:
             self.sub_spectra_db = np.asarray(sub_spectra_db,
                                              dtype=np.float64)
 
-    def to_json(self, timestamp_ms: int) -> str:
-        import json
-
+    def to_doc(self, timestamp_ms: int) -> dict:
         spec = self.spectrum_db
         finite = spec[np.isfinite(spec)]
         doc = {
@@ -161,4 +159,9 @@ class IqMetadata:
                 np.nan_to_num(self.sub_spectra_db,
                               nan=0.0, posinf=0.0, neginf=0.0),
                 2).tolist()
-        return json.dumps(doc, separators=(",", ":"))
+        return doc
+
+    def to_json(self, timestamp_ms: int) -> str:
+        import json
+
+        return json.dumps(self.to_doc(timestamp_ms), separators=(",", ":"))

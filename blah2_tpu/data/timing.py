@@ -33,7 +33,7 @@ class Timing:
         self.names = list(names)
         self.uptime_ms = self.t_now - self.t_start
 
-    def to_json(self) -> str:
+    def to_doc(self) -> dict:
         doc = {
             "timestamp": self.t_now,
             "nCpi": self.n_cpi,
@@ -42,7 +42,10 @@ class Timing:
         }
         for name, t in zip(self.names, self.times_ms):
             doc[name] = float(t)
-        return jsonfmt.dumps(doc)
+        return doc
+
+    def to_json(self) -> str:
+        return jsonfmt.dumps(self.to_doc())
 
     @staticmethod
     def save(json_str: str, path: str) -> bool:

@@ -52,17 +52,33 @@ class ApiState:
         self.iqdata_stash = IqDataStash()
         self.timing_stash = TimingStash()
 
-    def publish(self, product: str, payload: str) -> None:
+    def publish(self, product: str, payload: str, parsed=None) -> None:
+        """Swap ``payload`` in and update the product's stash.
+
+        ``parsed`` skips the stash's JSON parse: a dict doc (TCP ingest
+        hands the object it already decoded while framing), or for ``map``
+        alternatively the zero-serialization triple
+        ``(head_json, timestamp, dB ndarray)`` from the in-process radar
+        runtime (see ``MaxholdStash.update_serialized``)."""
         with self.lock:
             self.products[product] = payload
         if product == "map":
-            self.maxhold.update(payload)
-        elif product == "detection":
-            self.detection_stash.update(payload)
-        elif product == "iqdata":
-            self.iqdata_stash.update(payload)
-        elif product == "timing":
-            self.timing_stash.update(payload)
+            if isinstance(parsed, tuple):
+                self.maxhold.update_serialized(*parsed)
+            elif parsed is not None:
+                self.maxhold.update_parsed(parsed)
+            else:
+                self.maxhold.update(payload)
+            return
+        stash = {"detection": self.detection_stash,
+                 "iqdata": self.iqdata_stash,
+                 "timing": self.timing_stash}.get(product)
+        if stash is None:
+            return
+        if parsed is not None:
+            stash.update_parsed(parsed)
+        else:
+            stash.update(payload)
 
     def get(self, product: str) -> str:
         with self.lock:
@@ -70,15 +86,27 @@ class ApiState:
 
 
 class _IngestHandler(socketserver.BaseRequestHandler):
-    """Accumulate chunks; publish on trailing '}' (timestamp: every chunk)."""
+    """Accumulate chunks; publish complete JSON documents (timestamp:
+    every chunk).
+
+    The reference's Node listener publishes whenever the buffer ends with
+    ``}`` (`api/server.js:123-136`) — a latent framing race: two products
+    coalesced into one ``recv`` (the sender loops ``sendall`` per 1024-B
+    chunk back-to-back, `net/socket.py`) publish as one concatenated
+    string, corrupting the product. Here the buffer is split on JSON
+    document boundaries with ``raw_decode`` (C-speed scan; also yields the
+    parsed doc, which is handed to the stash so the TCP path never parses
+    twice). The wire contract is unchanged — the same chunked streams are
+    accepted, just framed correctly."""
 
     def handle(self):
         product = self.server.product  # type: ignore[attr-defined]
         state = self.server.state  # type: ignore[attr-defined]
+        decoder = json.JSONDecoder()
         buf = ""
         while True:
             try:
-                data = self.request.recv(4096)
+                data = self.request.recv(65536)
             except OSError:
                 break
             if not data:
@@ -87,9 +115,20 @@ class _IngestHandler(socketserver.BaseRequestHandler):
             if product == "timestamp":
                 state.publish(product, buf)
                 buf = ""
-            elif buf.endswith("}"):
-                state.publish(product, buf)
-                buf = ""
+                continue
+            if not buf.endswith("}"):
+                continue  # mid-document; keep accumulating
+            idx = 0
+            while idx < len(buf):
+                try:
+                    doc, end = decoder.raw_decode(buf, idx)
+                except ValueError:
+                    break  # trailing partial document (or '}' in a string)
+                state.publish(product, buf[idx:end], parsed=doc)
+                idx = end
+                while idx < len(buf) and buf[idx] in " \t\r\n":
+                    idx += 1
+            buf = buf[idx:]
 
 
 class _IngestServer(socketserver.ThreadingTCPServer):
@@ -239,9 +278,10 @@ class ApiServer:
                 t.start()
                 self._threads.append(t)
 
-    def publish(self, product: str, payload: str) -> None:
-        """In-process publish path (no TCP round trip)."""
-        self.state.publish(product, payload)
+    def publish(self, product: str, payload: str, parsed=None) -> None:
+        """In-process publish path (no TCP round trip); ``parsed`` skips
+        the stash JSON parse (see ``ApiState.publish``)."""
+        self.state.publish(product, payload, parsed=parsed)
 
     def stop(self) -> None:
         for s in self._servers:

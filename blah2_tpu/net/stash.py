@@ -28,15 +28,17 @@ class MaxholdStash:
     The window holds numpy arrays; the max-reduction and serialization run
     lazily in ``get()`` (the reference computes per UI poll too,
     `api/stash/maxhold.js`), cached by map timestamp. The in-process
-    publish path hands the dB array directly via ``update_parsed`` —
-    no JSON round-trip; the TCP ingest path parses.
+    publish path hands the dB array plus the already-serialized head via
+    ``update_serialized`` — no JSON round-trip at all; the TCP ingest
+    path hands the parsed doc via ``update_parsed``.
     """
 
     N_CPI = 20
 
     def __init__(self):
         self._maps: List[np.ndarray] = []
-        self._head: Dict[str, Any] = {}
+        self._head_json: str = ""
+        self._head_ts = None
         self._lock = threading.Lock()
         self._cache: str = ""
         self._cache_ts = None
@@ -46,27 +48,37 @@ class MaxholdStash:
             doc = json.loads(map_json)
         except json.JSONDecodeError:
             return
-        data = doc.pop("data", None)
+        self.update_parsed(doc)
+
+    def update_parsed(self, doc: Dict[str, Any]) -> None:
+        data = doc.get("data")
         if data is None:
             return
-        self.update_parsed(doc, np.asarray(data, dtype=np.float32))
+        head = {k: v for k, v in doc.items() if k != "data"}
+        self.update_serialized(
+            json.dumps(head, separators=(",", ":")),
+            head.get("timestamp"), np.asarray(data, dtype=np.float32))
 
-    def update_parsed(self, head: Dict[str, Any], data: np.ndarray) -> None:
+    def update_serialized(self, head_json: str, timestamp,
+                          data: np.ndarray) -> None:
+        """Zero-parse fast path: ``head_json`` is the map doc WITHOUT its
+        ``data`` member, already serialized (the radar runtime has it as a
+        byproduct of building the map JSON); ``data`` the dB array."""
         with self._lock:
             if self._maps and self._maps[-1].shape != data.shape:
                 self._maps.clear()
             self._maps.append(data)
             if len(self._maps) > self.N_CPI:
                 self._maps.pop(0)
-            self._head = head
+            self._head_json = head_json
+            self._head_ts = timestamp
             self._cache_ts = None  # invalidate
 
     def get(self) -> str:
         with self._lock:
             if not self._maps:
                 return ""
-            ts = self._head.get("timestamp")
-            if self._cache_ts == ts:
+            if self._cache_ts is not None and self._cache_ts == self._head_ts:
                 return self._cache
             acc = np.maximum.reduce(self._maps)
             from blah2_tpu import native
@@ -76,10 +88,8 @@ class MaxholdStash:
                 data_json = json.dumps(
                     np.round(acc, 2).astype(np.float64).tolist(),
                     separators=(",", ":"))
-            head = {k: v for k, v in self._head.items() if k != "data"}
-            head_json = json.dumps(head, separators=(",", ":"))
-            self._cache = head_json[:-1] + ',"data":' + data_json + "}"
-            self._cache_ts = ts
+            self._cache = self._head_json[:-1] + ',"data":' + data_json + "}"
+            self._cache_ts = self._head_ts
             return self._cache
 
 
@@ -95,6 +105,9 @@ class DetectionStash:
             doc = json.loads(detection_json)
         except json.JSONDecodeError:
             return
+        self.update_parsed(doc)
+
+    def update_parsed(self, doc: Dict[str, Any]) -> None:
         with self._lock:
             self._docs.append(doc)
             now = doc.get("timestamp", 0)
@@ -130,6 +143,7 @@ class IqDataStash:
         #: collapses the window.
         self._rows_per_doc: List[int] = []
         self._latest: Dict[str, Any] = {}
+        self._prev_doc_ts = None
         self._lock = threading.Lock()
 
     def update(self, iqdata_json: str) -> None:
@@ -137,6 +151,10 @@ class IqDataStash:
             doc = json.loads(iqdata_json)
         except json.JSONDecodeError:
             return
+        self.update_parsed(doc)
+
+    def update_parsed(self, doc: Dict[str, Any]) -> None:
+        doc = dict(doc)  # mutated below; never alias the caller's doc
         with self._lock:
             # Sub-CPI spectra (process.spectrum.nSub): each CPI contributes
             # its k sub-rows to the waterfall instead of one full-CPI row —
@@ -144,10 +162,22 @@ class IqDataStash:
             # (`SpectrumAnalyser.h:6` TODO "k spectrum plots from sub-CPIs").
             sub = doc.get("subSpectra")
             rows = sub if sub else [doc.get("spectrum")]
-            for r in rows:
+            t0 = doc.get("timestamp")
+            k = len(rows)
+            # Truthful sub-row time axis: sub-spectrum s covers segment s
+            # of the CPI window ending at t0, so it gets
+            # t0 − (k−1−s)·cpi/k with the CPI span inferred from the
+            # inter-doc timestamp delta (first doc: duplicated t0).
+            span = 0
+            if k > 1 and isinstance(t0, (int, float)) and \
+                    isinstance(self._prev_doc_ts, (int, float)):
+                span = max(0, t0 - self._prev_doc_ts)
+            self._prev_doc_ts = t0
+            for s, r in enumerate(rows):
                 self._spectrum.append(r)
                 self._frequency.append(doc.get("frequency"))
-                self._timestamp.append(doc.get("timestamp"))
+                self._timestamp.append(
+                    t0 - round(span * (k - 1 - s) / k) if span else t0)
             self._rows_per_doc.append(len(rows))
             while len(self._rows_per_doc) > self.N_CPI:
                 n = self._rows_per_doc.pop(0)
@@ -176,6 +206,9 @@ class TimingStash:
             doc = json.loads(timing_json)
         except json.JSONDecodeError:
             return
+        self.update_parsed(doc)
+
+    def update_parsed(self, doc: Dict[str, Any]) -> None:
         with self._lock:
             for key, val in doc.items():
                 if key in ("uptime", "nCpi"):

@@ -21,6 +21,7 @@ threads (`src/blah2.cpp:56-365`):
 
 from __future__ import annotations
 
+import json
 import os
 import signal
 import threading
@@ -37,6 +38,7 @@ from blah2_tpu.data.detection import Detection
 from blah2_tpu.data.iq import IqMetadata
 from blah2_tpu.data.timing import StageTimer, Timing
 from blah2_tpu.tracker import Tracker
+from blah2_tpu.utils import jsonfmt
 
 
 def _now_ms() -> int:
@@ -58,6 +60,7 @@ class RadarRuntime:
         staged_sample_every: int = 16,
         staged_warmup: str = "async",
         enable_pack12: bool = True,
+        defer_fetch: bool = True,
     ):
         """``api_server``: an ApiServer for in-process publishing; when
         ``use_tcp_egress`` the products are instead sent over the six TCP
@@ -74,6 +77,19 @@ class RadarRuntime:
         the transfer. ``None`` picks 8 when the geometry allows (chunk size
         must divide both n_samples and the overlap advance), 1 otherwise;
         1 disables chunking. Ignored under ``staged_timing``.
+
+        ``defer_fetch``: one-CPI-deferred product fetch on the chunked
+        fused path — CPI k's program is dispatched async and CPI k−1's
+        products are fetched/emitted behind it, so the fetch round trip
+        rides the in-flight work instead of serialising after it (the
+        measured-best protocol of bench.py, now the production default;
+        the analog of the reference's capture/process thread overlap,
+        `src/blah2.cpp:137-139,245-361`). Products are still emitted
+        every CPI, one behind; the timing product carries an explicit
+        ``latency`` key (emission − extraction, including the deferral)
+        next to the host-wall ``cpi`` key. Staged-timing sample CPIs
+        flush the pending CPI first and run synchronously, so per-stage
+        measurements stay honest.
 
         ``mesh``: a `jax.sharding.Mesh` with axes ``(cpi, pulse)`` — run
         the multi-chip `ShardedCpiPipeline` instead of the single-chip
@@ -182,6 +198,10 @@ class RadarRuntime:
                     f"{self.advance}")
         self._retained_chunks: list = []   # device (xd, yd) pairs kept
         self._pending_chunks: list = []    # device pairs of the in-fill CPI
+        # Deferred-fetch state: (device outputs, t0, extract_ms,
+        # dispatch_ms) of the CPI whose products are fetched one CPI later.
+        self.defer_fetch = bool(defer_fetch) and not self.staged_timing
+        self._pending_out = None
         # Wire dtype for host->device ingest: sources that deliver integer
         # ADC counts (stored exactly in the complex64 rings) ship as int
         # planes and widen on device — half (int16) or a quarter (int8)
@@ -262,9 +282,12 @@ class RadarRuntime:
         self.n_cpis_done = 0
 
     # -- egress --------------------------------------------------------------
-    def _emit(self, product: str, payload: str) -> None:
+    def _emit(self, product: str, payload: str, parsed=None) -> None:
         if self.api_server is not None:
-            self.api_server.publish(product, payload)
+            # ``parsed`` hands the already-built objects to the stashes so
+            # the in-process path never re-parses the JSON it just built
+            # (the map parse alone was ~26% of the CPI wall, VERDICT r3).
+            self.api_server.publish(product, payload, parsed=parsed)
         if self.use_tcp_egress and product in self._senders:
             self._senders[product].send_data(payload)
 
@@ -523,6 +546,13 @@ class RadarRuntime:
             # recorded (spectrum / clutter_filter / ambiguity_processing /
             # detector) at the cost of per-stage sync barriers.
             out = self.pipeline.call_staged(x, y, timer=timer)
+            if self.pipeline.sub_spectra_fn is not None:
+                # call_staged runs reference stages only — attach the
+                # sub-CPI spectra (process.spectrum.nSub) outside the
+                # timed marks, like _run_staged_sample does.
+                xp = self.pipeline.to_planes(x, self.pipeline._plane_dtype)
+                out = out._replace(sub_spectra_db=jax.device_get(
+                    self.pipeline.sub_spectra_fn(xp)))
         elif self._is_sample_cpi():
             out = self._run_staged_sample(x, y)
         else:
@@ -614,14 +644,20 @@ class RadarRuntime:
                      device_ms / n_batch] + self.timer.times_ms
             names.append("cpi")
             times.append(float(_now_ms() - stamps[i]))
-            self.timing.update(stamps[i], times, names)
-            timing_json = self.timing.to_json()
-            if self._save_timing_path:
-                Timing.save(timing_json, self._save_timing_path)
-            self._emit("timing", timing_json)
+            self._emit_timing(stamps[i], times, names)
             self._emit("timestamp", str(stamps[i]))
             results.append(emitted)
         return results
+
+    def _emit_timing(self, t0: int, times_ms, names) -> str:
+        """Update and emit the timing product (parsed doc to the stash)."""
+        self.timing.update(t0, times_ms, names)
+        doc = self.timing.to_doc()
+        timing_json = jsonfmt.dumps(doc)
+        if self._save_timing_path:
+            Timing.save(timing_json, self._save_timing_path)
+        self._emit("timing", timing_json, parsed=doc)
+        return timing_json
 
     def _emit_products(self, out, t0: int) -> dict:
         """Serialize and emit every JSON product for one CPI's outputs.
@@ -643,18 +679,20 @@ class RadarRuntime:
         self.iq_meta.update(self.pipeline.spectrum.frequency_khz,
                             np.asarray(out.spectrum_db),
                             None if sub is None else np.asarray(sub))
-        iq_json = self.iq_meta.to_json(t0)
-        self._emit("iqdata", iq_json)
+        iq_doc = self.iq_meta.to_doc(t0)
+        iq_json = json.dumps(iq_doc, separators=(",", ":"))
+        self._emit("iqdata", iq_json, parsed=iq_doc)
         emitted["iqdata"] = iq_json
 
         # Map
         ddmap = DelayDopplerMap(None, amb.delay_axis, amb.doppler_axis,
                                 db_data=np.asarray(out.db_map))
         ddmap.set_metrics(float(out.noise_power), float(out.max_power))
-        map_json = ddmap.to_json(t0, fs_km=cfg.capture.fs)
+        map_json, map_head, map_db = ddmap.to_json_parts(
+            t0, fs_km=cfg.capture.fs)
         if self._save_map_path:
             DelayDopplerMap.save(map_json, self._save_map_path)
-        self._emit("map", map_json)
+        self._emit("map", map_json, parsed=(map_head, t0, map_db))
         emitted["map"] = map_json
 
         # Detection
@@ -664,10 +702,11 @@ class RadarRuntime:
             detection = Detection.from_arrays(
                 np.asarray(det.delay), np.asarray(det.doppler),
                 np.asarray(det.snr), np.asarray(det.valid))
-            det_json = detection.to_json(t0, fs_km=cfg.capture.fs)
+            det_doc = detection.to_doc(t0, fs_km=cfg.capture.fs)
+            det_json = json.dumps(det_doc, separators=(",", ":"))
             if self._save_detection_path:
                 Detection.save(det_json, self._save_detection_path)
-            self._emit("detection", det_json)
+            self._emit("detection", det_json, parsed=det_doc)
             emitted["detection"] = det_json
             # The on-device detector time is reported by the staged run or
             # the apportioned split; host-side serialization of detections
@@ -866,11 +905,7 @@ class RadarRuntime:
                 print(f"CPI time (ms): {cpi_ms:.1f}", flush=True)
 
             # Timing product
-            self.timing.update(t0, self.timer.times_ms, self.timer.names)
-            timing_json = self.timing.to_json()
-            if self._save_timing_path:
-                Timing.save(timing_json, self._save_timing_path)
-            self._emit("timing", timing_json)
+            self._emit_timing(t0, self.timer.times_ms, self.timer.names)
 
             # Timestamp broadcast
             self._emit("timestamp", str(t0))

@@ -83,10 +83,10 @@ def test_mesh_runtime_loop_batches(mesh):
     seen = []
     rt._emit_orig = rt._emit
 
-    def spy(product, payload):
+    def spy(product, payload, **kw):
         if product == "timestamp":
             seen.append(payload)
-        rt._emit_orig(product, payload)
+        rt._emit_orig(product, payload, **kw)
 
     rt._emit = spy
     rt.run(n_cpis=4, quiet=True)

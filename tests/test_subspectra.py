@@ -211,10 +211,10 @@ def test_runtime_emits_sub_spectra():
     docs = []
     orig = rt._emit
 
-    def capture(product, payload):
+    def capture(product, payload, **kw):
         if product == "iqdata":
             docs.append(json.loads(payload))
-        return orig(product, payload)
+        return orig(product, payload, **kw)
 
     rt._emit = capture
     rt.start_capture()

@@ -109,6 +109,51 @@ def test_products_cross_tcp(tcp_topology):
     assert "n" in trk and "data" in trk
 
 
+def test_ingest_splits_coalesced_documents():
+    """Two products coalesced into one recv must publish as two documents
+    (the reference's Node listener concatenates them — a product-corrupting
+    framing race not worth replicating, `api/server.js:123-136`). Also
+    covers a '}' inside a JSON string and a document split mid-send."""
+    import socket
+    import threading
+
+    from blah2_tpu.net.api import ApiState, _IngestServer
+
+    state = ApiState()
+    srv = _IngestServer(("127.0.0.1", 0), "map", state)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def wait_until(pred, timeout=5.0):
+        deadline = time.monotonic() + timeout
+        while not pred():
+            if time.monotonic() > deadline:
+                return False
+            time.sleep(0.01)
+        return True
+
+    try:
+        docs = [json.dumps({"timestamp": i, "note": "brace } in string",
+                            "data": [[float(i)]]}) for i in (1, 2, 3)]
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        # Coalesced: two complete documents in one send.
+        s.sendall((docs[0] + docs[1]).encode())
+        assert wait_until(lambda: state.get("map") == docs[1])
+        assert len(state.maxhold._maps) == 2
+        # Split: a document delivered across two sends, the first ending
+        # with '}' (inside a string — must keep buffering, not publish).
+        cut = docs[2].index("}") + 1
+        s.sendall(docs[2][:cut].encode())
+        time.sleep(0.1)
+        s.sendall(docs[2][cut:].encode())
+        assert wait_until(lambda: state.get("map") == docs[2])
+        assert len(state.maxhold._maps) == 3
+        s.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_standalone_api_serves_config_and_web(tcp_topology):
     def get(path):
         with urllib.request.urlopen(

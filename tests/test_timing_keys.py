@@ -29,10 +29,10 @@ def _run(n_cpis, **kw):
     timings = []
     orig = rt._emit
 
-    def capture(product, payload):
+    def capture(product, payload, **kw):
         if product == "timing":
             timings.append(json.loads(payload))
-        return orig(product, payload)
+        return orig(product, payload, **kw)
 
     rt._emit = capture
     rt.start_capture()
