@@ -130,6 +130,43 @@ def main() -> None:
     comp.sort()
     compute_ms = 1e3 * comp[len(comp) // 2]
 
+    # Device-resident saturation throughput: the chip's true capability
+    # with the tunnel out of the equation. Single timed calls still carry
+    # the ~24-28 ms fixed dispatch+fetch round trip (PROBE_STAGE_r03), so
+    # dispatch a queue of async calls over resident buffers and force only
+    # the last — the steady-state per-CPI compute is wall/N. MFU is
+    # estimated from XLA's own cost analysis against the v5e bf16 MXU
+    # peak (197 TFLOP/s; the pipeline is FFT/f32-dominated, so this is a
+    # deliberately conservative denominator).
+    dev_bufs = [jax.device_put(b) for b in bufs]
+    jax.block_until_ready(dev_bufs)
+    n_queue = 32
+    out_q = pipe._fn_quad12(dev_bufs[0])  # warm
+    np.asarray(out_q.noise_power)
+    t0 = time.perf_counter()
+    for k in range(n_queue):
+        out_q = pipe._fn_quad12(dev_bufs[k % n_buf])
+    np.asarray(out_q.noise_power)
+    dev_cpi_s = (time.perf_counter() - t0) / n_queue
+    flops_per_cpi = None
+    mfu_pct = None
+    try:
+        ca = pipe._fn_quad12.lower(dev_bufs[0]).compile().cost_analysis()
+        if ca and ca.get("flops"):
+            flops_per_cpi = float(ca["flops"])
+            mfu_pct = 100.0 * flops_per_cpi / dev_cpi_s / 197e12
+    except Exception:
+        pass
+    device_resident = {
+        "cpi_ms": round(1e3 * dev_cpi_s, 2),
+        "msamples_per_s": round(n / dev_cpi_s / 1e6, 1),
+        "vs_realtime_rate": round(n / dev_cpi_s / 2e6, 1),
+        "flops_per_cpi": flops_per_cpi,
+        "mfu_pct_vs_bf16_peak": (None if mfu_pct is None
+                                 else round(mfu_pct, 2)),
+        "queue_depth": n_queue,
+    }
+
     # In-run wire floor: a raw timed put of one CPI's packed payload,
     # measured next to each group, so wall can be audited against the
     # line rate of the minutes the bench actually ran in. The transport
@@ -175,6 +212,7 @@ def main() -> None:
             "wire_floor_ms_groups": [round(1e3 * f, 2) for f in floors],
             "wire_bytes_per_cpi": int(bufs[0].nbytes),
             "compute_ms_data_resident": round(compute_ms, 2),
+            "device_resident_throughput": device_resident,
             "realtime_budget_ms": round(1e3 * n / fs, 2),
             "map_shape": [pipe.ambiguity.n_doppler_bins,
                           pipe.ambiguity.n_delay_bins],

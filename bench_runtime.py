@@ -96,10 +96,10 @@ def _build_runtime(fname, api_port, staged_every, enable_pack12):
     timings = []
     orig = rt._emit
 
-    def capture(product, payload):
+    def capture(product, payload, **kw):
         if product == "timing":
             timings.append(json.loads(payload))
-        return orig(product, payload)
+        return orig(product, payload, **kw)
 
     rt._emit = capture
     return cfg, api, rt, timings

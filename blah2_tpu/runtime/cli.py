@@ -48,6 +48,16 @@ def main(argv=None) -> int:
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace for the first CPIs "
                              "to this directory")
+    parser.add_argument("--no-defer-fetch", action="store_true",
+                        help="fetch each CPI's products synchronously "
+                             "instead of one CPI behind (deferred fetch "
+                             "overlaps the fetch round trip with the next "
+                             "CPI's in-flight work; default on)")
+    parser.add_argument("--transport-recycle", type=int, default=0,
+                        metavar="N",
+                        help="recycle the device transport every N CPIs "
+                             "(bounds native per-RPC RSS retention on "
+                             "remote transports; 0 disables)")
     parser.add_argument("--ingest-chunks", type=int, default=None,
                         help="stream each CPI to the device in this many "
                              "blocks as capture delivers them (transfer "
@@ -131,6 +141,8 @@ def main(argv=None) -> int:
                            staged_timing=args.staged_timing,
                            staged_sample_every=args.staged_sample_every,
                            ingest_chunks=args.ingest_chunks,
+                           defer_fetch=not args.no_defer_fetch,
+                           recycle_every_cpis=args.transport_recycle,
                            mesh=mesh, halo_backend=args.halo_backend,
                            row_shard={"on": True, "off": False}.get(
                                args.row_shard, args.row_shard))

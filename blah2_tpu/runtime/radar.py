@@ -61,6 +61,7 @@ class RadarRuntime:
         staged_warmup: str = "async",
         enable_pack12: bool = True,
         defer_fetch: bool = True,
+        recycle_every_cpis: int = 0,
     ):
         """``api_server``: an ApiServer for in-process publishing; when
         ``use_tcp_egress`` the products are instead sent over the six TCP
@@ -202,6 +203,8 @@ class RadarRuntime:
         # dispatch_ms) of the CPI whose products are fetched one CPI later.
         self.defer_fetch = bool(defer_fetch) and not self.staged_timing
         self._pending_out = None
+        # Periodic transport recycle (see recycle_transport): 0 disables.
+        self.recycle_every_cpis = max(0, int(recycle_every_cpis))
         # Wire dtype for host->device ingest: sources that deliver integer
         # ADC counts (stored exactly in the complex64 rings) ship as int
         # planes and widen on device — half (int16) or a quarter (int8)
@@ -325,6 +328,46 @@ class RadarRuntime:
             print("[timing] waiting for the staged-timing warmup compile "
                   "to finish...", flush=True)
             t.join()
+
+    def recycle_transport(self) -> float:
+        """Tear down and re-create the device transport between CPIs.
+
+        Mitigation for transports whose native client retains per-RPC
+        memory (the tunneled single-chip transport here grows ~8 MB/CPI
+        host RSS, SOAK_r03 — not product code, but a long run would OOM
+        between watchdog intervals). Dropping every backend handle forces
+        the PJRT client to be rebuilt on next use; jitted executables
+        reload from the persistent compile cache (seconds, not minutes).
+        Device-resident overlap tails are discarded (same seam semantics
+        as a ring overflow: the next window assembles fresh). Returns the
+        recycle wall time in seconds. Wire into the loop with
+        ``recycle_every_cpis`` (CLI ``--transport-recycle``)."""
+        import jax
+
+        t0 = time.perf_counter()
+        self._flush_pending()
+        self._retained_chunks = []
+        self._pending_chunks = []
+        self._tail_x = self._tail_y = None
+        # Staged-warmup thread may hold live executables; let it finish.
+        t = self._staged_warmup_thread
+        if t is not None and t is not threading.current_thread() \
+                and t.is_alive():
+            t.join()
+        try:
+            jax.clear_caches()
+            jax.extend.backend.clear_backends()
+        except Exception as e:  # never take down the CPI loop
+            print(f"[recycle] clear_backends failed: {e}", flush=True)
+        # Compiled-program caches keyed on dead executables must go too.
+        self.pipeline._chunked_cache.clear()
+        # Staged programs lived on the dead backend: re-warm in the
+        # background (persistent-cache reload) instead of stalling the
+        # next sample CPI with an inline reload.
+        if self.staged_sample_every > 0 and self._staged_ready.is_set():
+            self._staged_ready.clear()
+            self._staged_warmup_thread = None
+        return time.perf_counter() - t0
 
     # -- the CPI loop --------------------------------------------------------
     DEVICE_STAGES = ("spectrum", "clutter_filter", "ambiguity_processing",
@@ -505,7 +548,7 @@ class RadarRuntime:
                 p.sub_spectra_fn(xp)))
         return out
 
-    def _record_device_split(self, total_ms: float) -> None:
+    def _record_device_split(self, total_ms: float, timer=None) -> None:
         """Report the fused program's wall under every reference stage key
         plus ``wire_transfer`` (estimates, refreshed every
         ``staged_sample_every`` CPIs; the stage boundaries do not exist
@@ -515,20 +558,22 @@ class RadarRuntime:
         under multi-tenant throttling, so the device stages get their
         sampled absolute times and the wall surplus over their sum is
         attributed to ``wire_transfer`` (scaled down proportionally on the
-        rare CPI whose wall is below the sampled device sum)."""
+        CPI whose wall is below the sampled device sum — routine under
+        deferred fetch, where compute overlaps the next CPI's fill)."""
+        timer = self.timer if timer is None else timer
         sm = self._sample_stage_ms
         if sm is None:
-            self.timer.record("wire_transfer", 0.0)
+            timer.record("wire_transfer", 0.0)
             for name in self.DEVICE_STAGES:
-                self.timer.record(
+                timer.record(
                     name, total_ms if name == "ambiguity_processing" else 0.0)
             return
         dev_total = sum(sm.get(n, 0.0) for n in self.DEVICE_STAGES)
         wire = max(0.0, total_ms - dev_total)
         scale = 1.0 if dev_total <= 0.0 else (total_ms - wire) / dev_total
-        self.timer.record("wire_transfer", wire)
+        timer.record("wire_transfer", wire)
         for name in self.DEVICE_STAGES:
-            self.timer.record(name, sm.get(name, 0.0) * scale)
+            timer.record(name, sm.get(name, 0.0) * scale)
 
     def process_one_cpi(self, x: np.ndarray, y: np.ndarray,
                         timestamp_ms: Optional[int] = None) -> dict:
@@ -571,9 +616,19 @@ class RadarRuntime:
         return self._emit_products(out, t0)
 
     def process_one_cpi_chunks(self, x_chunks, y_chunks,
-                               timestamp_ms: Optional[int] = None) -> dict:
+                               timestamp_ms: Optional[int] = None,
+                               extract_ms: float = 0.0) -> Optional[dict]:
         """Process one CPI delivered as device-resident plane chunks
-        (streaming ingest, `_extract_cpi_chunks`) and emit all products."""
+        (streaming ingest, `_extract_cpi_chunks`) and emit products.
+
+        With ``defer_fetch`` (production default) the CPI's program is
+        dispatched async and the PREVIOUS CPI's products are fetched and
+        emitted behind it (products + timing + timestamp, one CPI behind);
+        returns ``None`` — the caller must not emit timing for the current
+        CPI, and must call :meth:`_flush_pending` after the last CPI.
+        Staged-timing sample CPIs flush the pending CPI first, then run
+        synchronously (honest per-stage measurement) and return their
+        emitted dict as before."""
         import jax
         import jax.numpy as jnp
 
@@ -586,16 +641,63 @@ class RadarRuntime:
                 [unpack_planes(ch) for ch in chunks], axis=0)
 
         if self._is_sample_cpi():
+            self._flush_pending()  # keep product order monotonic
             out = self._run_staged_sample(cat_planes(x_chunks),
                                           cat_planes(y_chunks))
-        else:
-            t_dev = time.perf_counter()
+            return self._emit_products(out, t0)
+        if self.defer_fetch:
+            t_d = time.perf_counter()
             out = self.pipeline.call_chunks(x_chunks, y_chunks)
-            # Batched fetch; forces true completion (see process_one_cpi).
-            out = jax.device_get(out)
-            self._record_device_split(
-                (time.perf_counter() - t_dev) * 1e3)
+            dispatch_ms = (time.perf_counter() - t_d) * 1e3
+            # Fetch the previous CPI's products now that this CPI's work
+            # is in flight: the fetch round trip rides the in-flight
+            # transfer/compute instead of serialising after it
+            # (bench.py's measured ~20-30 ms/CPI win, now in production).
+            self._flush_pending()
+            self._pending_out = (out, t0, float(extract_ms), dispatch_ms)
+            return None
+        t_dev = time.perf_counter()
+        out = self.pipeline.call_chunks(x_chunks, y_chunks)
+        # Batched fetch; forces true completion (see process_one_cpi).
+        out = jax.device_get(out)
+        self._record_device_split(
+            (time.perf_counter() - t_dev) * 1e3)
         return self._emit_products(out, t0)
+
+    def _flush_pending(self) -> Optional[dict]:
+        """Fetch and emit the deferred CPI's products + timing + timestamp.
+
+        Timing semantics: the deferred CPI's ``cpi`` key is the
+        host-attributable wall (extract + dispatch + residual fetch +
+        serialization + tracker) — the inter-CPI fill wait, during which
+        the device computes, belongs to capture pacing, not this CPI. The
+        extra ``latency`` key reports true product age (emission − window
+        extraction, including the one-CPI deferral), so the trade is
+        visible in /api/timing rather than hidden."""
+        if self._pending_out is None:
+            return None
+        import jax
+
+        out_dev, t0, extract_ms, dispatch_ms = self._pending_out
+        self._pending_out = None
+        t_f = time.perf_counter()
+        out = jax.device_get(out_dev)
+        fetch_ms = (time.perf_counter() - t_f) * 1e3
+        st = StageTimer()
+        st.start()
+        st.record("extract_buffer", extract_ms)
+        self._record_device_split(dispatch_ms + fetch_ms, timer=st)
+        emitted = self._emit_products(out, t0, timer=st)
+        cpi_ms = float(sum(st.times_ms))
+        st.record("latency", float(max(0, _now_ms() - t0)))
+        st.names.append("cpi")
+        st.times_ms.append(cpi_ms)
+        self._emit_timing(t0, st.times_ms, st.names)
+        self._emit("timestamp", str(t0))
+        if not getattr(self, "_quiet", True):
+            print(f"CPI time (ms): {cpi_ms:.1f} (deferred fetch)",
+                  flush=True)
+        return emitted
 
     def process_cpi_batch(self, windows, stamps, extract_ms=None) -> list:
         """Process ``len(windows)`` CPI windows in one sharded multi-chip
@@ -659,7 +761,7 @@ class RadarRuntime:
         self._emit("timing", timing_json, parsed=doc)
         return timing_json
 
-    def _emit_products(self, out, t0: int) -> dict:
+    def _emit_products(self, out, t0: int, timer=None) -> dict:
         """Serialize and emit every JSON product for one CPI's outputs.
 
         Host-side serialization + publish time is reported under
@@ -669,7 +771,7 @@ class RadarRuntime:
         """
         cfg = self.config
         amb = self.pipeline.ambiguity
-        timer = self.timer
+        timer = self.timer if timer is None else timer
         emitted = {}
         t_ser0 = time.perf_counter()
         tracker_ms = 0.0
@@ -884,6 +986,7 @@ class RadarRuntime:
             return
 
         chunked = self.ingest_chunks > 1 and not self.staged_timing
+        self._quiet = quiet
         while not self._stop.is_set():
             if n_cpis is not None and self.n_cpis_done >= n_cpis:
                 break
@@ -897,9 +1000,22 @@ class RadarRuntime:
             t0 = _now_ms()
             self.timer.stage("extract_buffer")
             if chunked:
-                self.process_one_cpi_chunks(x, y, t0)
+                res = self.process_one_cpi_chunks(
+                    x, y, t0, extract_ms=self.timer.times_ms[-1])
             else:
-                self.process_one_cpi(x, y, t0)
+                res = self.process_one_cpi(x, y, t0)
+            self.n_cpis_done += 1
+            if self.recycle_every_cpis and \
+                    self.n_cpis_done % self.recycle_every_cpis == 0:
+                dt = self.recycle_transport()
+                if not quiet:
+                    print(f"[recycle] transport recycled in {dt:.1f} s "
+                          f"(CPI {self.n_cpis_done})", flush=True)
+                continue
+            if res is None:
+                # Deferred fetch: the previous CPI's products and timing
+                # were emitted inside; this CPI's are pending.
+                continue
             cpi_ms = self.timer.finish_cpi()
             if not quiet:
                 print(f"CPI time (ms): {cpi_ms:.1f}", flush=True)
@@ -909,4 +1025,6 @@ class RadarRuntime:
 
             # Timestamp broadcast
             self._emit("timestamp", str(t0))
-            self.n_cpis_done += 1
+        if chunked:
+            # Drain the deferred CPI so every processed CPI emits.
+            self._flush_pending()

@@ -86,6 +86,8 @@ def test_runtime_chunked_matches_unchunked_products():
     xc, yc = got
     assert len(xc) == 4 and len(yc) == 4
     out = rt.process_one_cpi_chunks(xc, yc, timestamp_ms=1234)
+    assert out is None  # deferred fetch (production default): one behind
+    out = rt._flush_pending()
     assert out["map"] == ref["map"]
     assert out["detection"] == ref["detection"]
     assert out["iqdata"] == ref["iqdata"]
@@ -220,8 +222,8 @@ def test_integer_wire_dtype_products_match_float(tmp_path):
         captured = {}
         orig = rt._emit_products
 
-        def cap(out, t0, _c=captured, _o=orig):
-            e = _o(out, t0)
+        def cap(out, t0, _c=captured, _o=orig, **kw):
+            e = _o(out, t0, **kw)
             _c.update(e)
             return e
 
@@ -295,8 +297,8 @@ def test_pack12_chunks_products_match_float(tmp_path):
         captured = {}
         orig = rt._emit_products
 
-        def cap(out, t0, _c=captured, _o=orig):
-            e = _o(out, t0)
+        def cap(out, t0, _c=captured, _o=orig, **kw):
+            e = _o(out, t0, **kw)
             _c.update(e)
             return e
 
@@ -318,3 +320,67 @@ def test_pack12_chunks_products_match_float(tmp_path):
     d_f = json.loads(products["float"]["detection"])
     for k in ("delay", "doppler", "snr"):
         assert d_p[k] == d_f[k]
+
+
+def test_deferred_fetch_run_emits_every_cpi_in_order():
+    """Production defer_fetch: run(n_cpis=N) must emit N product sets, one
+    CPI behind during the loop with the last drained at the end, products
+    in timestamp order, and each deferred timing doc carrying the explicit
+    `latency` key (the deferral made visible) plus every reference key."""
+    import json
+
+    cfg = _cfg()
+    rt = RadarRuntime(cfg, staged_sample_every=0)
+    assert rt.defer_fetch and rt.ingest_chunks > 1
+    n = cfg.n_samples
+    emissions = []
+    orig = rt._emit
+
+    def spy(product, payload, **kw):
+        emissions.append((product, payload))
+        return orig(product, payload, **kw)
+
+    rt._emit = spy
+    for k in range(3):
+        x, y = _iq(n, seed=10 + k)
+        rt.buffer1.push(x)
+        rt.buffer2.push(y)
+    rt.run(n_cpis=3, quiet=True)
+
+    stamps = [int(p) for prod, p in emissions if prod == "timestamp"]
+    assert len(stamps) == 3
+    assert stamps == sorted(stamps)
+    maps = [json.loads(p) for prod, p in emissions if prod == "map"]
+    assert [m["timestamp"] for m in maps] == stamps
+    timings = [json.loads(p) for prod, p in emissions if prod == "timing"]
+    assert len(timings) == 3 and timings[-1]["nCpi"] == 3
+    for t in timings:
+        for key in ("extract_buffer", "wire_transfer", "spectrum",
+                    "clutter_filter", "ambiguity_processing", "detector",
+                    "tracker", "output_radar_data", "latency", "cpi"):
+            assert key in t, key
+        assert t["latency"] >= 0.0
+
+
+def test_deferred_fetch_products_match_synchronous():
+    """Same bits either way: a deferred run's products equal a
+    defer_fetch=False run's on identical input."""
+    cfg = _cfg()
+    n = cfg.n_samples
+    x, y = _iq(n, seed=42)
+
+    def products(defer):
+        rt = RadarRuntime(cfg, staged_sample_every=0, defer_fetch=defer)
+        rt.buffer1.push(x)
+        rt.buffer2.push(y)
+        got = rt._extract_cpi_chunks(timeout=0.5)
+        assert got is not None
+        out = rt.process_one_cpi_chunks(*got, timestamp_ms=99)
+        if out is None:
+            out = rt._flush_pending()
+        return out
+
+    a, b = products(True), products(False)
+    assert a["map"] == b["map"]
+    assert a["detection"] == b["detection"]
+    assert a["iqdata"] == b["iqdata"]

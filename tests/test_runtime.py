@@ -213,3 +213,30 @@ class TestStagedTiming:
                                    rtol=0, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(fused.detections.valid),
                                       np.asarray(staged.detections.valid))
+
+
+def test_transport_recycle_mid_run(synthetic_config):
+    """recycle_every_cpis tears the backend down between CPIs and the loop
+    keeps producing identical-shape products afterwards (the RSS-bound
+    mitigation for leaky remote transports, SOAK_r03)."""
+    cfg = synthetic_config
+    rt = RadarRuntime(cfg, staged_sample_every=0, recycle_every_cpis=2)
+    maps = []
+    orig = rt._emit
+
+    def spy(product, payload, **kw):
+        if product == "map":
+            maps.append(json.loads(payload))
+        return orig(product, payload, **kw)
+
+    rt._emit = spy
+    rt.start_capture()
+    try:
+        rt.run(n_cpis=5, quiet=True)
+    finally:
+        rt.stop()
+    assert len(maps) == 5  # recycle flushes the deferred CPI, loses none
+    shapes = {(m["nRows"], m["nCols"]) for m in maps}
+    assert len(shapes) == 1
+    stamps = [m["timestamp"] for m in maps]
+    assert stamps == sorted(stamps)

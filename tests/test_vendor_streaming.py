@@ -200,8 +200,8 @@ class TestRspDuoRuntimeE2E:
 
             orig = rt._emit_products
 
-            def capture_products(out, t0):
-                emitted = orig(out, t0)
+            def capture_products(out, t0, **kw):
+                emitted = orig(out, t0, **kw)
                 products.update(emitted)
                 return emitted
 

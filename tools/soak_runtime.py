@@ -42,6 +42,11 @@ def _rss_mb() -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpis", type=int, default=60)
+    ap.add_argument("--recycle-every", type=int, default=0, metavar="N",
+                    help="recycle the device transport every N CPIs "
+                         "(RadarRuntime.recycle_transport — bounds the "
+                         "tunnel transport client's native per-RPC RSS "
+                         "retention, SOAK_r03; 0 disables)")
     ap.add_argument("--gc-every-window", action="store_true",
                     help="gc.collect() after each window (leak triage: "
                          "discriminates cycle-held buffers from native "
@@ -66,6 +71,7 @@ def main() -> int:
     budget_ms = 1e3 * cfg0.n_samples / cfg0.capture.fs
     fname = br._make_scene(cfg0)
     cfg, api, rt, timings = br._build_runtime(fname, 18799, 16, True)
+    rt.recycle_every_cpis = max(0, args.recycle_every)
 
     rt._start_staged_warmup()
     t = rt._staged_warmup_thread
