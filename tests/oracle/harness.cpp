@@ -13,10 +13,13 @@
 //   double noisePower, double maxPower
 //   int32 clutterOk
 //   int32 nDetections, then nDet*(delay, doppler, snr)
+//   int32 nCentroided, then n*(delay, doppler, snr)      [Centroid output]
+//   int32 nInterpolated, then n*(delay, doppler, snr)    [Interpolate output]
 //
 // Usage: harness <in.rspduo> <out.bin> <fs> <cpi_s> <delayMin> <delayMax>
 //        <dopplerMin> <dopplerMax> <clutterEnable> <clutterDelayMin>
 //        <clutterDelayMax> <pfa> <nGuard> <nTrain> <minDelay> <minDoppler>
+//        [nCentroid]
 
 #include <cstdint>
 #include <cstdio>
@@ -32,9 +35,24 @@
 #include "process/ambiguity/Ambiguity.h"
 #include "process/clutter/WienerHopf.h"
 #include "process/detection/CfarDetector1D.h"
+#include "process/detection/Centroid.h"
+#include "process/detection/Interpolate.h"
+
+static void write_detections(FILE *out, Detection *det) {
+  std::vector<double> dd = det->get_delay();
+  std::vector<double> df = det->get_doppler();
+  std::vector<double> ds = det->get_snr();
+  const int32_t n_det = (int32_t)dd.size();
+  std::fwrite(&n_det, sizeof(int32_t), 1, out);
+  for (int32_t k = 0; k < n_det; k++) {
+    std::fwrite(&dd[(size_t)k], sizeof(double), 1, out);
+    std::fwrite(&df[(size_t)k], sizeof(double), 1, out);
+    std::fwrite(&ds[(size_t)k], sizeof(double), 1, out);
+  }
+}
 
 int main(int argc, char **argv) {
-  if (argc != 17) {
+  if (argc != 17 && argc != 18) {
     std::fprintf(stderr, "usage: see header\n");
     return 2;
   }
@@ -54,6 +72,7 @@ int main(int argc, char **argv) {
   const int n_train = std::atoi(argv[14]);
   const int min_delay = std::atoi(argv[15]);
   const double min_doppler = std::atof(argv[16]);
+  const int n_centroid = (argc == 18) ? std::atoi(argv[17]) : 6;
 
   const uint32_t n_samples = (uint32_t)((double)fs * cpi_s);
 
@@ -105,20 +124,24 @@ int main(int argc, char **argv) {
   std::fwrite(&map->maxPower, sizeof(double), 1, out);
   const int32_t ok32 = clutter_ok;
   std::fwrite(&ok32, sizeof(int32_t), 1, out);
-  std::vector<double> dd = det->get_delay();
-  std::vector<double> df = det->get_doppler();
-  std::vector<double> ds = det->get_snr();
-  const int32_t n_det = (int32_t)dd.size();
-  std::fwrite(&n_det, sizeof(int32_t), 1, out);
-  for (int32_t k = 0; k < n_det; k++) {
-    std::fwrite(&dd[(size_t)k], sizeof(double), 1, out);
-    std::fwrite(&df[(size_t)k], sizeof(double), 1, out);
-    std::fwrite(&ds[(size_t)k], sizeof(double), 1, out);
-  }
+  write_detections(out, det.get());
+
+  // Detection tail: Centroid + Interpolate exactly as the reference app
+  // wires them (`src/blah2.cpp:178-183`: Interpolate(true, true),
+  // Centroid(nCentroid, nCentroid, 1/tCpi)).
+  Centroid centroid((uint16_t)n_centroid, (uint16_t)n_centroid,
+                    1.0 / cpi_s);
+  std::unique_ptr<Detection> cent = centroid.process(det.get());
+  write_detections(out, cent.get());
+  Interpolate interpolate(true, true);
+  std::unique_ptr<Detection> interp = interpolate.process(cent.get(), map);
+  write_detections(out, interp.get());
   std::fclose(out);
 
-  std::printf("oracle: map %dx%d noise %.6f max %.6f clutter_ok %d ndet %d\n",
+  std::printf("oracle: map %dx%d noise %.6f max %.6f clutter_ok %d "
+              "ndet %zu cent %zu interp %zu\n",
               n_rows, n_cols, map->noisePower, map->maxPower, clutter_ok,
-              n_det);
+              det->get_delay().size(), cent->get_delay().size(),
+              interp->get_delay().size());
   return 0;
 }

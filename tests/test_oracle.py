@@ -33,7 +33,8 @@ SCENE = dict(targets=[(40, -77.0, 0.05), (61, 112.0, 0.03)],
              clutter=3.0, noise=1e-3, seed=20240817)
 AMB = dict(delay_min=-10, delay_max=100, doppler_min=-200, doppler_max=200)
 CLUTTER = dict(delay_min=-10, delay_max=100)
-DET = dict(pfa=1e-5, n_guard=2, n_train=6, min_delay=5, min_doppler=15.0)
+DET = dict(pfa=1e-5, n_guard=2, n_train=6, min_delay=5, min_doppler=15.0,
+           n_centroid=6)
 
 
 @pytest.fixture(scope="module")
@@ -97,6 +98,25 @@ def _read_oracle(path):
     return rows, cols, cmap, noise, maxp, ok, det
 
 
+def _read_oracle_full(path):
+    """Reader incl. the detection-tail blocks (Centroid, Interpolate)."""
+    with open(path, "rb") as f:
+        rows, cols = struct.unpack("<ii", f.read(8))
+        cmap = np.fromfile(f, dtype=np.complex128,
+                           count=rows * cols).reshape(rows, cols)
+        noise, maxp = struct.unpack("<dd", f.read(16))
+        ok, = struct.unpack("<i", f.read(4))
+
+        def det_block():
+            n, = struct.unpack("<i", f.read(4))
+            return np.fromfile(f, dtype=np.float64,
+                               count=3 * n).reshape(n, 3)
+
+        det, cent, interp = det_block(), det_block(), det_block()
+    return dict(rows=rows, cols=cols, cmap=cmap, noise=noise, maxp=maxp,
+                ok=ok, det=det, cent=cent, interp=interp)
+
+
 @pytest.fixture(scope="module")
 def both_outputs(oracle_bin, tmp_path_factory):
     tmp_path = tmp_path_factory.mktemp("oracle")
@@ -108,10 +128,12 @@ def both_outputs(oracle_bin, tmp_path_factory):
          str(AMB["doppler_min"]), str(AMB["doppler_max"]),
          "1", str(CLUTTER["delay_min"]), str(CLUTTER["delay_max"]),
          str(DET["pfa"]), str(DET["n_guard"]), str(DET["n_train"]),
-         str(DET["min_delay"]), str(DET["min_doppler"])],
+         str(DET["min_delay"]), str(DET["min_doppler"]),
+         str(DET["n_centroid"])],
         capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr + r.stdout
     oracle = _read_oracle(out)
+    full = _read_oracle_full(out)
 
     # Same file through the TPU pipeline at float64 with the reference's
     # circular clutter mode.
@@ -147,12 +169,12 @@ def both_outputs(oracle_bin, tmp_path_factory):
     yr = buf2.pop(n, timeout=0)
     pipe = CpiPipeline(cfg, dtype=jnp.complex128, use_pallas=False)
     ours = pipe(xr.astype(np.complex128), yr.astype(np.complex128))
-    return oracle, ours, cfg, (xr, yr)
+    return oracle, ours, cfg, (xr, yr), full
 
 
 class TestOracleParity:
     def test_map_dimensions(self, both_outputs):
-        (rows, cols, cmap, *_), ours, _, _ = both_outputs
+        (rows, cols, cmap, *_), ours = both_outputs[0], both_outputs[1]
         db = np.asarray(ours.db_map)
         # Reference nDelayBins = delayMax-delayMin+1 with an acknowledged
         # 1-bin windowing offset (`Ambiguity.h:7`, `Ambiguity.cpp:131-146`)
@@ -163,13 +185,13 @@ class TestOracleParity:
         """Cell-wise complex map parity, float64 both sides. Both compute
         identical linear correlations (different-but-sufficient FFT sizes)
         so disagreement means an algorithm divergence, not noise."""
-        (rows, cols, cmap, *_), ours, _, _ = both_outputs
+        (rows, cols, cmap, *_), ours = both_outputs[0], both_outputs[1]
         ours_db = np.asarray(ours.db_map)
         ref_db = 10 * np.log10(np.abs(cmap))
         np.testing.assert_allclose(ours_db, ref_db, rtol=0, atol=1e-6)
 
     def test_metrics_parity(self, both_outputs):
-        (_, _, _, noise, maxp, ok, _), ours, _, _ = both_outputs
+        (_, _, _, noise, maxp, ok, _), ours = both_outputs[0], both_outputs[1]
         assert ok == 1 and bool(ours.clutter_ok)
         assert abs(float(ours.noise_power) - noise) < 1e-6
         assert abs(float(ours.max_power) - maxp) < 1e-6
@@ -178,7 +200,8 @@ class TestOracleParity:
         """Raw CFAR cells must agree. The TPU pipeline's emitted product
         applies centroid+interpolation after CFAR, so compare its raw CFAR
         stage (same class the product uses) against the oracle's cells."""
-        (_, _, cmap, noise, _, _, det_ref), ours, cfg, _ = both_outputs
+        (_, _, cmap, noise, _, _, det_ref), ours, cfg = \
+            both_outputs[0], both_outputs[1], both_outputs[2]
         import jax.numpy as jnp
 
         from blah2_tpu.dsp.ambiguity import AmbiguityProcessor
@@ -221,7 +244,7 @@ class TestOracleF32:
         from blah2_tpu.dsp.pipeline import CpiPipeline
 
         (_, _, cmap, noise, maxp, ok, det_ref), _, cfg, (xr, yr) = \
-            both_outputs
+            both_outputs[:4]
         pipe = CpiPipeline(cfg, dtype=jnp.complex64, use_pallas=False)
         x32, y32 = xr.astype(np.complex64), yr.astype(np.complex64)
         out = pipe(x32, y32)
@@ -269,3 +292,265 @@ class TestOracleF32:
         np.testing.assert_allclose(got[:, 0], want[:, 0], atol=0)
         np.testing.assert_allclose(got[:, 1], want[:, 1],
                                    rtol=1e-6, atol=1e-4)
+
+
+class TestOracleDetectionTail:
+    """Detection tail (Centroid + Interpolate) against the compiled
+    reference on the same scene — closing VERDICT r3 weak #6 ("oracle
+    parity stops at CFAR"). Documented divergences are asserted as
+    EXPECTED differences, not skipped: the Centroid uint16 wrap
+    (`Centroid.cpp:36-38`) via crafted inputs below, the Interpolate SNR
+    clobber (`Interpolate.cpp:77` writes intSnrDelay in the Doppler
+    branch) via an in-test numpy recompute of both semantics."""
+
+    @pytest.fixture(scope="class")
+    def our_chain(self, both_outputs):
+        """Our CFAR -> Centroid on the ORACLE's own f64 map, so the tail
+        is isolated from upstream float noise."""
+        import jax.numpy as jnp
+
+        from blah2_tpu.dsp.ambiguity import AmbiguityProcessor
+        from blah2_tpu.dsp.cfar import CfarDetector
+        from blah2_tpu.dsp.centroid import CentroidFilter
+
+        full = both_outputs[4]
+        amb = AmbiguityProcessor(
+            AMB["delay_min"], AMB["delay_max"], AMB["doppler_min"],
+            AMB["doppler_max"], FS, int(FS * CPI_S), dtype=jnp.complex128)
+        cfar = CfarDetector(DET["pfa"], DET["n_guard"], DET["n_train"],
+                            DET["min_delay"], DET["min_doppler"],
+                            amb.delay_axis, amb.doppler_axis,
+                            max_detections=256)
+        det = cfar(jnp.asarray(full["cmap"]), jnp.asarray(full["noise"]))
+        cent = CentroidFilter(DET["n_centroid"], DET["n_centroid"],
+                              1.0 / CPI_S)(det)
+        return amb, det, cent, full
+
+    def test_centroid_parity(self, our_chain):
+        amb, det, cent, full = our_chain
+        # The signed-vs-uint16 divergence only manifests for detections
+        # with delay < nCentroid; assert the scene stays out of that zone
+        # so this parity check is meaningful (the wrap itself is pinned in
+        # test_centroid_uint16_wrap_divergence).
+        v = np.asarray(det.valid)
+        assert (np.asarray(det.delay)[v] >= DET["n_centroid"]).all()
+        kv = np.asarray(cent.valid)
+        got = np.array(sorted(zip(np.asarray(cent.delay)[kv],
+                                  np.asarray(cent.doppler)[kv],
+                                  np.asarray(cent.snr)[kv])))
+        want = np.array(sorted(map(tuple, full["cent"])))
+        assert got.shape == want.shape, (got.shape, want.shape)
+        np.testing.assert_allclose(got[:, 0], want[:, 0], atol=0)
+        np.testing.assert_allclose(got[:, 1], want[:, 1], rtol=1e-6,
+                                   atol=1e-4)
+        np.testing.assert_allclose(got[:, 2], want[:, 2], rtol=0, atol=1e-4)
+
+    @staticmethod
+    def _interp_both_semantics(cent_rows, cmap, noise, delay_axis,
+                               doppler_axis):
+        """Numpy recompute of Interpolate.cpp for each centroided
+        detection: returns (kept mask, delay, doppler, snr_reference,
+        snr_intended) where snr_reference reproduces the clobber
+        (`Interpolate.cpp:77`: the Doppler branch overwrites intSnrDelay,
+        so the emitted SNR is max(doppler_interp, original)) and
+        snr_intended is max(delay_interp, doppler_interp, original)."""
+        db = 10.0 * np.log10(np.abs(cmap)) - noise
+        n_rows, n_cols = db.shape
+        res = float(doppler_axis[1] - doppler_axis[0])
+        out = []
+        for d, f, s in cent_rows:
+            col = int(round(d - delay_axis[0]))
+            rows = np.nonzero(np.isclose(doppler_axis, f, rtol=0,
+                                         atol=1e-9))[0]
+            row = int(rows[0]) if rows.size else 0
+            if col in (0, n_cols - 1) or row in (0, n_rows - 1):
+                continue
+            sd = db[row, col - 1], db[row, col], db[row, col + 1]
+            sf = db[row - 1, col], db[row, col], db[row + 1, col]
+            if sd[1] < sd[0] or sd[1] < sd[2] or sf[1] < sf[0] \
+                    or sf[1] < sf[2]:
+                continue
+
+            def parab(s0, s1, s2):
+                delta = (s0 - s2) / (2 * (s0 - 2 * s1 + s2))
+                return delta, s1 - ((s0 - s2) * delta) / 4
+
+            dd, snr_d = parab(*sd)
+            df, snr_f = parab(*sf)
+            out.append((d + dd, f + res * df,
+                        max(snr_f, s), max(snr_d, snr_f, s)))
+        return np.array(out)
+
+    def test_interpolate_parity_and_snr_clobber(self, our_chain,
+                                                both_outputs):
+        amb, _, cent, full = our_chain
+        ours_final = both_outputs[1].detections  # pipeline's full-tail out
+        recompute = self._interp_both_semantics(
+            full["cent"], full["cmap"], full["noise"],
+            np.asarray(amb.delay_axis, dtype=np.float64),
+            np.asarray(amb.doppler_axis, dtype=np.float64))
+        want = np.array(sorted(map(tuple, full["interp"])))
+        # 1. The numpy reference-semantics recompute must match the
+        # compiled reference exactly (positions AND clobbered SNR) —
+        # pinning the clobber as understood, not assumed.
+        got_ref = np.array(sorted(recompute[:, :3].tolist()))
+        assert got_ref.shape == want.shape, (got_ref.shape, want.shape)
+        np.testing.assert_allclose(got_ref, want, rtol=1e-9, atol=1e-9)
+        # 2. Our pipeline's emitted detections: same kept set and
+        # positions as the reference; SNR equals the *intended*
+        # max-of-three (>= the reference's clobbered value).
+        v = np.asarray(ours_final.valid)
+        got = np.array(sorted(zip(
+            np.asarray(ours_final.delay)[v],
+            np.asarray(ours_final.doppler)[v],
+            np.asarray(ours_final.snr)[v])))
+        intended = np.array(sorted(
+            recompute[:, [0, 1, 3]].tolist()))
+        assert got.shape == intended.shape
+        np.testing.assert_allclose(got[:, 0], intended[:, 0],
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(got[:, 1], intended[:, 1],
+                                   rtol=1e-6, atol=1e-4)
+        np.testing.assert_allclose(got[:, 2], intended[:, 2],
+                                   rtol=0, atol=1e-4)
+        assert (got[:, 2] >= want[:, 2] - 1e-4).all()
+
+
+@pytest.fixture(scope="module")
+def aux_bin(oracle_bin):
+    path = os.path.join(ORACLE_DIR, "aux_harness")
+    if not os.path.isfile(path):
+        pytest.skip("aux_harness did not build")
+    return path
+
+
+def test_centroid_uint16_wrap_divergence(aux_bin):
+    """`Centroid.cpp:36` stores delayMin in uint16: a detection with
+    delay < nDelay wraps its lower bound to ~65k, so its neighbourhood
+    gate never matches and the weaker detection survives. Our signed
+    CentroidFilter suppresses it (documented divergence). Both behaviors
+    asserted against the compiled reference."""
+    import jax
+
+    from blah2_tpu.dsp.cfar import CfarDetections
+    from blah2_tpu.dsp.centroid import CentroidFilter
+
+    dets = [(2.0, 50.0, 10.0), (3.0, 52.0, 20.0)]  # wrap zone (delay < 6)
+    inp = "".join(f"{d} {f} {s}\n" for d, f, s in dets)
+    r = subprocess.run([aux_bin, "centroid", "6", "6", "10"],
+                       input=inp, capture_output=True, text=True,
+                       timeout=60)
+    assert r.returncode == 0, r.stderr
+    ref_kept = [tuple(map(float, line.split()))
+                for line in r.stdout.splitlines()]
+    assert sorted(ref_kept) == sorted(dets)  # wrap: keeps BOTH
+
+    K = 4
+    det = CfarDetections(
+        delay=jax.numpy.asarray([2.0, 3.0, 0.0, 0.0]),
+        doppler=jax.numpy.asarray([50.0, 52.0, 0.0, 0.0]),
+        snr=jax.numpy.asarray([10.0, 20.0, 0.0, 0.0]),
+        row=jax.numpy.zeros(K, dtype=int),
+        col=jax.numpy.zeros(K, dtype=int),
+        valid=jax.numpy.asarray([True, True, False, False]),
+        count=jax.numpy.asarray(2),
+    )
+    kept = CentroidFilter(6, 6, 10.0)(det)
+    kv = np.asarray(kept.valid)
+    ours = sorted(zip(np.asarray(kept.delay)[kv].tolist(),
+                      np.asarray(kept.snr)[kv].tolist()))
+    assert ours == [(3.0, 20.0)]  # signed bounds: weaker one suppressed
+
+    # Away from the wrap zone both agree: shift delays up by 10.
+    inp2 = "".join(f"{d + 10} {f} {s}\n" for d, f, s in dets)
+    r2 = subprocess.run([aux_bin, "centroid", "6", "6", "10"],
+                        input=inp2, capture_output=True, text=True,
+                        timeout=60)
+    ref2 = [tuple(map(float, line.split()))
+            for line in r2.stdout.splitlines()]
+    assert ref2 == [(13.0, 52.0, 20.0)]
+
+
+class TestOracleTracker:
+    """Track life cycles against the compiled reference Tracker.
+
+    The reference's association gate compares detections against the
+    UNINITIALIZED delayPredict/dopplerPredict zeros instead of the
+    prediction (`Tracker.cpp:59-60,81-84`) — the documented bug our
+    tracker does not replicate. Asserted as the expected difference:
+    near (0,0) the reference associates (bounded track table); away from
+    the origin it never associates — every CPI spawns a fresh TENTATIVE
+    track and no track ever reaches ACTIVE — while ours promotes the
+    target to one ACTIVE track on the same sequence."""
+
+    M, N, NDEL, CPI, MAXACC, RES, LAM = 3, 5, 4, 0.5, 2.0, 1500.0, 1.5
+
+    def _run_ref(self, aux_bin, cpis):
+        lines = []
+        for ts, dets in cpis:
+            lines.append(f"T {ts}")
+            for d, f, s in dets:
+                lines.append(f"D {d} {f} {s}")
+            lines.append("E")
+        r = subprocess.run(
+            [aux_bin, "track", str(self.M), str(self.N), str(self.NDEL),
+             str(self.CPI), str(self.MAXACC), str(self.RES), str(self.LAM)],
+            input="\n".join(lines) + "\n", capture_output=True, text=True,
+            timeout=60)
+        assert r.returncode == 0, r.stderr
+        tables, cur = [], None
+        for line in r.stdout.splitlines():
+            tok = line.split()
+            if tok[0] == "N":
+                cur = []
+                tables.append(cur)
+            else:
+                cur.append(dict(state=tok[1], delay=float(tok[2]),
+                                doppler=float(tok[3]), acc=float(tok[4]),
+                                n_inactive=int(tok[5])))
+        return tables
+
+    def _run_ours(self, cpis):
+        from blah2_tpu.data.detection import Detection
+        from blah2_tpu.tracker import Tracker
+
+        trk = Tracker(self.M, self.N, self.NDEL, self.CPI, self.MAXACC,
+                      self.RES, self.LAM)
+        states = []
+        for ts, dets in cpis:
+            det = Detection([d for d, _, _ in dets],
+                            [f for _, f, _ in dets],
+                            [s for _, _, s in dets])
+            store = trk.process(det, ts * 1000)
+            states.append([t.state for t in store.tracks])
+        return states
+
+    def _scenario(self, delay, doppler, n_cpis=8):
+        return [(1000 + k, [(delay, doppler, 15.0)])
+                for k in range(n_cpis)]
+
+    def test_gate_bug_divergence_far_from_origin(self, aux_bin):
+        cpis = self._scenario(40.0, 20.0)
+        ref = self._run_ref(aux_bin, cpis)
+        # Reference: never associates (gate anchored at 0,0) -> a new
+        # TENTATIVE track per CPI, aging ones deleted, none ever ACTIVE.
+        assert all(s["state"] not in ("ACTIVE", "ASSOCIATED", "COASTING")
+                   for table in ref for s in table)
+        assert len(ref[-1]) > 1  # duplicates pile up (bounded by nDelete)
+        ours = self._run_ours(cpis)
+        # Ours: associates on the prediction, single track, promoted
+        # ACTIVE once >= M of the last N states are hits.
+        assert len(ours[-1]) == 1
+        assert ours[-1][0] == "ACTIVE"
+
+    def test_reference_associates_near_origin(self, aux_bin):
+        """Sanity that the compiled reference is driven correctly: inside
+        the zero-anchored gate (|delay|<1, |doppler|<1/cpi) it does
+        associate, so its track table stays bounded."""
+        cpis = self._scenario(0.3, 1.0)
+        ref = self._run_ref(aux_bin, cpis)
+        assert any(s["state"] == "ASSOCIATED" or s["n_inactive"] == 0
+                   for table in ref for s in table) or \
+            max(len(t) for t in ref) <= 2
+        # Bounded: association marks doNotInitiate, so no per-CPI spawn.
+        assert len(ref[-1]) <= 2
