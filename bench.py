@@ -134,38 +134,26 @@ def main() -> None:
     # with the tunnel out of the equation. Single timed calls still carry
     # the ~24-28 ms fixed dispatch+fetch round trip (PROBE_STAGE_r03), so
     # dispatch a queue of async calls over resident buffers and force only
-    # the last — the steady-state per-CPI compute is wall/N. MFU is
-    # estimated from XLA's own cost analysis against the v5e bf16 MXU
-    # peak (197 TFLOP/s; the pipeline is FFT/f32-dominated, so this is a
-    # deliberately conservative denominator).
+    # the last — the steady-state per-CPI compute is wall/N. The dispatch
+    # RPCs themselves ride the shared tunnel, so one trial in a throttled
+    # minute reads ~4x high; trials run inside the spread-out group loop
+    # below and the BEST is the capability number. MFU is estimated from
+    # XLA's own cost analysis against the v5e bf16 MXU peak (197 TFLOP/s;
+    # the pipeline is FFT/f32-dominated, so this is a deliberately
+    # conservative denominator).
     dev_bufs = [jax.device_put(b) for b in bufs]
     jax.block_until_ready(dev_bufs)
-    n_queue = 32
+    n_queue = 16
     out_q = pipe._fn_quad12(dev_bufs[0])  # warm
     np.asarray(out_q.noise_power)
-    t0 = time.perf_counter()
-    for k in range(n_queue):
-        out_q = pipe._fn_quad12(dev_bufs[k % n_buf])
-    np.asarray(out_q.noise_power)
-    dev_cpi_s = (time.perf_counter() - t0) / n_queue
-    flops_per_cpi = None
-    mfu_pct = None
-    try:
-        ca = pipe._fn_quad12.lower(dev_bufs[0]).compile().cost_analysis()
-        if ca and ca.get("flops"):
-            flops_per_cpi = float(ca["flops"])
-            mfu_pct = 100.0 * flops_per_cpi / dev_cpi_s / 197e12
-    except Exception:
-        pass
-    device_resident = {
-        "cpi_ms": round(1e3 * dev_cpi_s, 2),
-        "msamples_per_s": round(n / dev_cpi_s / 1e6, 1),
-        "vs_realtime_rate": round(n / dev_cpi_s / 2e6, 1),
-        "flops_per_cpi": flops_per_cpi,
-        "mfu_pct_vs_bf16_peak": (None if mfu_pct is None
-                                 else round(mfu_pct, 2)),
-        "queue_depth": n_queue,
-    }
+
+    def dev_queue_s() -> float:
+        t0 = time.perf_counter()
+        o = None
+        for k in range(n_queue):
+            o = pipe._fn_quad12(dev_bufs[k % n_buf])
+        np.asarray(o.noise_power)
+        return (time.perf_counter() - t0) / n_queue
 
     # In-run wire floor: a raw timed put of one CPI's packed payload,
     # measured next to each group, so wall can be audited against the
@@ -186,14 +174,37 @@ def main() -> None:
 
     groups = []
     floors = []
+    dev_trials = []
     out = None
     n_groups = 6
     for g in range(n_groups):
         floors.append(wire_floor())
+        dev_trials.append(dev_queue_s())
         per_cpi, out = stream_group(6)
         groups.append(per_cpi)
         if g < n_groups - 1:
             time.sleep(12.0)
+
+    dev_cpi_s = min(dev_trials)
+    flops_per_cpi = None
+    mfu_pct = None
+    try:
+        ca = pipe._fn_quad12.lower(dev_bufs[0]).compile().cost_analysis()
+        if ca and ca.get("flops"):
+            flops_per_cpi = float(ca["flops"])
+            mfu_pct = 100.0 * flops_per_cpi / dev_cpi_s / 197e12
+    except Exception:
+        pass
+    device_resident = {
+        "cpi_ms": round(1e3 * dev_cpi_s, 2),
+        "cpi_ms_trials": [round(1e3 * t, 2) for t in dev_trials],
+        "msamples_per_s": round(n / dev_cpi_s / 1e6, 1),
+        "vs_realtime_rate": round(n / dev_cpi_s / 2e6, 1),
+        "flops_per_cpi": flops_per_cpi,
+        "mfu_pct_vs_bf16_peak": (None if mfu_pct is None
+                                 else round(mfu_pct, 2)),
+        "queue_depth": n_queue,
+    }
 
     dt = min(groups)
     msps = n / dt / 1e6

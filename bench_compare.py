@@ -350,6 +350,93 @@ def main(argv=None) -> None:
                       bool(np.array_equal(a, b))},
     })
 
+    # -- spectrum: full-CPI analyser vs sub-CPI waterfall (nSub) ---------
+    # Same bin geometry by construction (the sub-analyser is pinned to
+    # the full analyser's bins, r3); agreement is the median |dB| gap
+    # between the full spectrum and the mean sub-spectrum power — data
+    # for choosing a waterfall depth, not a correctness check.
+    for k_sub in (4, 2):
+        try:
+            cfg_sub = config_from_dict({
+                "capture": cap,
+                "process": {**proc, "spectrum": {"nSub": k_sub}}})
+            pipe_sub = CpiPipeline(cfg_sub)
+            break
+        except ValueError:
+            pipe_sub = None
+    if pipe_sub is not None and pipe_sub.sub_spectra_fn is not None:
+        xpl = np.stack([x.real, x.imag], -1).astype(np.float32)
+        full_db = np.asarray(pipe_sub.stage_spectrum(xpl))
+        sub_db = np.asarray(pipe_sub.sub_spectra_fn(xpl))
+        variants = [
+            {"name": "full_cpi", "rows_per_cpi": 1,
+             "wall_ms": round(_best_ms(
+                 lambda: np.asarray(pipe_sub.stage_spectrum(xpl)[:1]),
+                 reps), 2)},
+            {"name": f"sub_cpi_x{k_sub}", "rows_per_cpi": k_sub,
+             "wall_ms": round(_best_ms(
+                 lambda: np.asarray(pipe_sub.sub_spectra_fn(xpl)[:1, :1]),
+                 reps), 2)},
+        ]
+        mean_sub = 10.0 * np.log10(
+            np.mean(10.0 ** (sub_db / 10.0), axis=0))
+        gap = np.abs(mean_sub - full_db)
+        results.append({
+            "comparison": "spectrum_nsub",
+            "variants": variants,
+            "agreement": {
+                "median_abs_db_gap_full_vs_mean_sub":
+                    round(float(np.median(gap)), 3),
+                "n_spectrum_bins": int(full_db.shape[-1])},
+        })
+
+    # -- tracker smoothing: none vs alpha-beta vs kalman -----------------
+    # Host-side; a kinematically consistent accelerating target with
+    # noisy detections, scored by post-promotion position RMSE vs truth.
+    from blah2_tpu.constants import SPEED_OF_LIGHT
+    from blah2_tpu.data.detection import Detection as DetProduct
+    from blah2_tpu.tracker import Tracker
+
+    cpi_t = proc["data"]["cpi"]
+    range_res = SPEED_OF_LIGHT / fs
+    lam = SPEED_OF_LIGHT / cap["fc"]
+    rng = np.random.default_rng(11)
+    n_cpis, acc = 40, 1.5
+    t_axis = np.arange(n_cpis) * cpi_t
+    dop_truth = -60.0 + acc * t_axis
+    delay_truth = 30.0 + np.cumsum(dop_truth * cpi_t * lam) / range_res
+    seq = [(delay_truth[i] + rng.normal(0, 0.3),
+            dop_truth[i] + rng.normal(0, 1.5)) for i in range(n_cpis)]
+    variants = []
+    for smooth in ("none", "alpha-beta", "kalman"):
+        trk = Tracker(3, 5, 8, cpi_t, 10.0, range_res, lam, smooth=smooth)
+        errs = []
+        t0 = time.perf_counter()
+        for i, (d, f) in enumerate(seq):
+            store = trk.process(DetProduct([d], [f], [15.0]),
+                                int(1000 * (1 + i * cpi_t)))
+            act = [t for t in store.tracks if t.state == "ACTIVE"]
+            if act:
+                cur = act[0].current
+                errs.append(((cur[0] - delay_truth[i]) ** 2,
+                             (cur[1] - dop_truth[i]) ** 2))
+        wall = (time.perf_counter() - t0) * 1e3
+        e = np.asarray(errs)
+        variants.append({
+            "name": smooth, "wall_ms": round(wall, 2),
+            "rmse_delay_bins": round(float(np.sqrt(e[:, 0].mean())), 3)
+            if len(e) else None,
+            "rmse_doppler_hz": round(float(np.sqrt(e[:, 1].mean())), 3)
+            if len(e) else None,
+            "active_cpis": len(e),
+        })
+    results.append({
+        "comparison": "tracker_smoothing",
+        "variants": variants,
+        "agreement": {"note": "RMSE vs kinematic truth after promotion; "
+                              "measurement noise sigma = 0.3 bins / 1.5 Hz"},
+    })
+
     for r in results:
         r["geometry"] = {"n_samples": n, "fs": fs,
                          "backend": jax.default_backend()}

@@ -137,7 +137,14 @@ def measure_rank_compute(p_values, n_rep: int = 10) -> dict:
     rng = np.random.default_rng(0)
     for P in p_values:
         cfg = _default_config(fs=fs, cpi=cpi / P)
-        pipe = CpiPipeline(cfg)
+        # linear (segmented, shard-decomposable) clutter kernels — the
+        # ones the sharded per-rank program actually runs. The circular
+        # reference-exact mode does one full-length FFT whose size at
+        # n/P can fall off the TPU FFT cliff (measured: 31 ms at
+        # n=750k vs 6.5 ms at n=1.5M) — a proxy artifact the sharded
+        # design never hits, since its segment FFT sizes are
+        # P-independent (next_tpu_fft_size).
+        pipe = CpiPipeline(cfg, clutter_mode="linear")
         n = cfg.n_samples
 
         def planes():
