@@ -29,11 +29,11 @@ TPU-first differences:
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from blah2_tpu.dsp.hamming import next_tpu_fft_size
+from blah2_tpu.ops.toeplitz import hermitian_toeplitz
 
 
 class WienerHopfFilter:
@@ -70,11 +70,6 @@ class WienerHopfFilter:
             self.n_bins + self.n_samples + 1
         )
 
-        nb = self.n_bins
-        i = np.arange(nb)[:, None]
-        j = np.arange(nb)[None, :]
-        self._abs_d = np.abs(i - j).astype(np.int32)
-        self._lower = np.asarray(i > j)
 
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray):
         """Filter one CPI.
@@ -136,9 +131,9 @@ class WienerHopfFilter:
             b = jnp.fft.ifft(yf * jnp.conj(xf))[:nb]
 
         # Hermitian Toeplitz: A[i,j] = conj(a[i-j]) for i>j, a[j-i] otherwise
-        # (`WienerHopf.cpp:85-97`).
-        av = a[self._abs_d]
-        mat = jnp.where(self._lower, jnp.conj(av), av)
+        # (`WienerHopf.cpp:85-97`); gather-free build — the index-matrix
+        # gather was ~1.7 ms on v5e, 10x the Cholesky solve it feeds.
+        mat = hermitian_toeplitz(a)
         if self.diag_load > 0.0:
             load = self.diag_load * jnp.real(a[0])
             mat = mat + load.astype(self.dtype) * jnp.eye(nb, dtype=self.dtype)

@@ -48,6 +48,7 @@ import jax
 import jax.numpy as jnp
 
 from blah2_tpu.dsp.hamming import next_tpu_fft_size
+from blah2_tpu.ops.toeplitz import toeplitz_ij, toeplitz_kj
 
 
 def _shift_linear(x: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -103,16 +104,13 @@ class EcaBFilter:
         self.n_ext = L + 2 * (nb - 1)
         self.nfft = next_tpu_fft_size(self.n_ext + nb)
 
-        # Gather indices into the (nb−1)-front-padded global array
-        # xs_pad[i] = xs[i − (nb−1)]: segment s's extended block starts at
-        # global offset s·L.
+        # Edge-window mask for the head/tail Gram corrections; the
+        # head/tail/Toeplitz matrices themselves are built gather-free
+        # from vector slices (ops.toeplitz — the index-matrix gathers
+        # measured ~1.7 ms each on v5e).
         v = np.arange(nb)[:, None]
         k = np.arange(nb)[None, :]
-        # Head/tail edge windows, local (within-ext) indices.
-        self._idx_head = (nb - 1 + v - k).astype(np.int32)          # P,H
-        self._idx_tail = (nb - 1 + L - k + v).astype(np.int32)      # Q,T
         self._edge_mask = np.asarray(v < k)                         # [v<j]
-        self._idx_toeplitz = (k - v + nb - 1).astype(np.int32)      # j−k+nb−1
 
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray):
         """Filter one CPI. Returns ``(y_filtered, ok)``.
@@ -153,11 +151,16 @@ class EcaBFilter:
         #   P[v,k] = xs[t₀+v−k],       H[v,j] = [v<j]·xs[t₀+v−j],
         #   Q[v,k] = xs[t₀+L−k+v],     T[v,j] = [v<j]·xs[t₀+L−j+v].
         # Verified against an explicit X^H X to machine precision.
-        P = ext[:, self._idx_head]                             # (B, nb, nb)
-        Q = ext[:, self._idx_tail]
+        # P[v,k] = ext[nb−1+v−k], Q[v,k] = ext[nb−1+L+v−k],
+        # G[v,k] = r_full[nb−1+k−v] — all Toeplitz from vector slices.
+        # Q's corner (v,k)=(nb−1,0) indexes one past ext; its every
+        # pairing in Q^H·T hits the [v<j] mask, so any value is exact —
+        # pad a zero (the gather build clamped, equally arbitrary).
+        P = toeplitz_ij(ext[:, :2 * nb - 1])                   # (B, nb, nb)
+        Q = toeplitz_ij(jnp.pad(ext, ((0, 0), (0, 1)))[:, L:L + 2 * nb - 1])
         Hm = jnp.where(self._edge_mask[None], P, 0)
         Tm = jnp.where(self._edge_mask[None], Q, 0)
-        G = r_full[:, self._idx_toeplitz]
+        G = toeplitz_kj(r_full)
         G = G + jnp.einsum("bvk,bvj->bkj", jnp.conj(P), Hm)
         G = G - jnp.einsum("bvk,bvj->bkj", jnp.conj(Q), Tm)
         load = (self.diag_load * jnp.real(r_full[:, nb - 1]) + 1e-30

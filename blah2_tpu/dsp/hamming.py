@@ -54,6 +54,28 @@ def round_fft_size(value: int, round_hamming: bool = True) -> int:
     return next_hamming(value) if round_hamming else value
 
 
+_FFT_TABLE = None  # lazy: (sorted sizes, {size: ms}, fast threshold)
+
+
+def _fft_table():
+    """Measured per-size FFT runtimes (tools/fft_size_survey.py), or None."""
+    global _FFT_TABLE
+    if _FFT_TABLE is None:
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "fft_table_v5e.json")
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            ms = {int(k): float(v) for k, v in doc["sizes_ms"].items()}
+            _FFT_TABLE = (sorted(ms), ms, float(doc["fast_threshold_ms"]))
+        except (OSError, KeyError, ValueError):
+            _FFT_TABLE = ()
+    return _FFT_TABLE or None
+
+
 def next_tpu_fft_size(value: int) -> int:
     """Smallest TPU-compiler-and-performance-safe FFT length > ``value``.
 
@@ -63,14 +85,39 @@ def next_tpu_fft_size(value: int) -> int:
       - FFT RUNTIME falls off a cliff without a large power-of-2 factor:
         batched 10000-point (2⁴·5⁴) runs ~10× slower than 10240-point
         (2¹¹·5); a 1.5M-point (2⁵·3·5⁶) FFT takes ~196 ms where the
-        1536000-point (2¹²·3·5³) runs in ~1 ms.
+        1536000-point (2¹²·3·5³) runs in ~1 ms;
+      - and NO static factor rule is sufficient: 768000 = 2¹¹·3·5³ (5-smooth,
+        %128) measures 4.7 ms while 1536000 — twice the work — runs 0.44 ms.
 
-    Policy: 5-smooth, and divisible by 128 once the length exceeds 1024
+    Policy: 5-smooth and divisible by 128 once the length exceeds 1024
     (below that, any 5-smooth size is fine and padding overhead matters
-    more than factor shape).
+    more than factor shape). Above 100k — the cliffy regime — a measured
+    fast-size table (`fft_table_v5e.json`, generated on-chip by
+    tools/fft_size_survey.py) overrides the heuristic: the smallest
+    measured-fast size within 1.35× of the request wins; the heuristic
+    choice stands when the table shows it fast, doesn't cover the range,
+    or offers no ≥1.65× improvement (program-cache stability: a marginal
+    table win must not invalidate compiled geometries).
     """
     v = value
     while True:
         v = next_hamming(v)
         if v <= 1024 or v % 128 == 0:
-            return v
+            break
+    if value < 100_000:
+        return v
+    table = _fft_table()
+    if table is None:
+        return v
+    sizes, ms, fast = table
+    base_ms = ms.get(v)
+    if base_ms is not None and base_ms <= fast:
+        return v
+    limit = int(value * 1.35)
+    cands = [m for m in sizes if value < m <= limit and ms[m] <= fast]
+    if not cands:
+        return v
+    best = min(cands)
+    if base_ms is not None and ms[best] > 0.6 * base_ms:
+        return v  # not decisively better than the (measured) heuristic pick
+    return best

@@ -50,6 +50,8 @@ from blah2_tpu.dsp.centroid import CentroidFilter
 from blah2_tpu.dsp.hamming import next_tpu_fft_size
 from blah2_tpu.dsp.interpolate import PeakInterpolator
 from blah2_tpu.dsp.pipeline import CpiOutputs, _empty_detections
+from blah2_tpu.ops.toeplitz import (hermitian_toeplitz, toeplitz_ij,
+                                    toeplitz_kj)
 from blah2_tpu.dsp.spectrum import SpectrumAnalyser
 from blah2_tpu.parallel.halo import shift_from_next, shift_from_prev
 
@@ -224,11 +226,6 @@ class ShardedCpiPipeline:
             self.n_seg_local = pick_local_segments(self.block_len, self.nb)
             self.seg_len = self.block_len // self.n_seg_local
             self.nfft_seg = next_tpu_fft_size(self.seg_len + self.nb - 1)
-            nb = self.nb
-            i = np.arange(nb)[:, None]
-            j = np.arange(nb)[None, :]
-            self._abs_d = np.abs(i - j).astype(np.int32)
-            self._lower = np.asarray(i > j)
             self.diag_load = diag_load
         if self.clutter_enabled and self.clutter_kind == "eca-b":
             # Sharded ECA-B (round 2): per-segment exact covariance-method
@@ -259,11 +256,7 @@ class ShardedCpiPipeline:
                 self.seg_len_eca + 2 * (nb - 1) + nb)
             v = np.arange(nb)[:, None]
             k = np.arange(nb)[None, :]
-            self._eca_idx_head = (nb - 1 + v - k).astype(np.int32)
-            self._eca_idx_tail = (
-                nb - 1 + self.seg_len_eca - k + v).astype(np.int32)
             self._eca_edge_mask = np.asarray(v < k)
-            self._eca_idx_toeplitz = (k - v + nb - 1).astype(np.int32)
             self.diag_load_eca = diag_load if diag_load > 0.0 else 1e-4
         if self.clutter_enabled and self.clutter_kind == "nlms":
             # Same block geometry as NlmsClutterFilter: L taps rounded up
@@ -367,9 +360,9 @@ class ShardedCpiPipeline:
         a = jnp.conj(jnp.fft.ifft(spec_a)[:nb])
         b = jnp.fft.ifft(spec_b)[:nb]
 
-        # Replicated Toeplitz solve (410² is tiny).
-        av = a[self._abs_d]
-        mat = jnp.where(self._lower, jnp.conj(av), av)
+        # Replicated Toeplitz solve (410² is tiny); gather-free build
+        # (ops.toeplitz — the index-matrix gather was ~1.7 ms on v5e).
+        mat = hermitian_toeplitz(a)
         if self.diag_load > 0.0:
             mat = mat + (self.diag_load * jnp.real(a[0])).astype(mat.dtype) \
                 * jnp.eye(nb, dtype=mat.dtype)
@@ -446,11 +439,15 @@ class ShardedCpiPipeline:
         r_full = c_seg[:, :2 * nb - 1]
         b = c_y[:, :nb][:, ::-1]
 
-        Pm = ext[:, self._eca_idx_head]
-        Qm = ext[:, self._eca_idx_tail]
+        L_eca = self.seg_len_eca
+        Pm = toeplitz_ij(ext[:, :2 * nb - 1])
+        # corner (nb−1,0) indexes one past ext; masked out in Q^H·T —
+        # pad a zero (see dsp/clutter_eca.py).
+        Qm = toeplitz_ij(
+            jnp.pad(ext, ((0, 0), (0, 1)))[:, L_eca:L_eca + 2 * nb - 1])
         Hm = jnp.where(self._eca_edge_mask[None], Pm, 0)
         Tm = jnp.where(self._eca_edge_mask[None], Qm, 0)
-        G = r_full[:, self._eca_idx_toeplitz]
+        G = toeplitz_kj(r_full)
         G = G + jnp.einsum("svk,svj->skj", jnp.conj(Pm), Hm)
         G = G - jnp.einsum("svk,svj->skj", jnp.conj(Qm), Tm)
         load = (self.diag_load_eca * jnp.real(r_full[:, nb - 1]) + 1e-30
