@@ -384,3 +384,32 @@ def test_deferred_fetch_products_match_synchronous():
     assert a["map"] == b["map"]
     assert a["detection"] == b["detection"]
     assert a["iqdata"] == b["iqdata"]
+
+
+def test_deferred_fetch_with_overlap_windows():
+    """Deferred fetch must compose with sliding overlap windows: the
+    retained device tail chunks belong to the NEXT window while the
+    pending outputs belong to the previous — distinct state that must not
+    interfere. 50% overlap, 4 CPIs: every emission present, in order."""
+    import json
+
+    cfg = _cfg(overlap=0.5)
+    rt = RadarRuntime(cfg, staged_sample_every=0)
+    assert rt.defer_fetch and rt.advance == cfg.n_samples // 2
+    emissions = []
+    orig = rt._emit
+
+    def spy(product, payload, **kw):
+        emissions.append((product, payload))
+        return orig(product, payload, **kw)
+
+    rt._emit = spy
+    n = cfg.n_samples
+    x, y = _iq(3 * n, seed=5)
+    rt.buffer1.push(x)
+    rt.buffer2.push(y)
+    rt.run(n_cpis=4, quiet=True)
+    maps = [json.loads(p) for prod, p in emissions if prod == "map"]
+    assert len(maps) == 4
+    stamps = [m["timestamp"] for m in maps]
+    assert stamps == sorted(stamps)
