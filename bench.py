@@ -53,7 +53,7 @@ def main() -> None:
 
     pipe = CpiPipeline(cfg)
 
-    from blah2_tpu.ops.pack12 import MAX12, MIN12, pack12
+    from blah2_tpu.ops.pack12 import MAX12, MIN12, pack12_quads
 
     rng = np.random.default_rng(0)
     n_buf = 8
@@ -78,7 +78,7 @@ def main() -> None:
             return np.clip(p, MIN12, MAX12).astype(np.int16)
         quads = np.ascontiguousarray(
             np.concatenate([planes_i12(x), planes_i12(y)], axis=1))
-        bufs.append(pack12(quads))
+        bufs.append(pack12_quads(quads))
 
     # Warmup (compile both the transfer path and the compute program).
     out = pipe.call_quad12(bufs[0])

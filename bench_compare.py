@@ -319,10 +319,10 @@ def main(argv=None) -> None:
     # 16n (f32 planes) vs 8n (int16 quads) vs 6n (ops.pack12). The 12-bit
     # variant quantises the scene to the RSPduo's native ADC range first,
     # so all three compute the same products on the same counts.
-    from blah2_tpu.ops.pack12 import MAX12, MIN12, pack12
+    from blah2_tpu.ops.pack12 import MAX12, MIN12, pack12_quads
 
     quad12 = np.clip(quad // 16, MIN12, MAX12).astype(np.int16)
-    packed = pack12(quad12)
+    packed = pack12_quads(quad12)
     planes_x = quad12[:, :2].astype(np.float32)
     planes_y = quad12[:, 2:].astype(np.float32)
     np.asarray(pipe.call_quad12(packed).noise_power)

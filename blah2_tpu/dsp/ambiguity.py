@@ -88,6 +88,15 @@ class AmbiguityProcessor:
         self.nfft = 2 * self.n_corr - 1
         if round_hamming:
             self.nfft = next_hamming(self.nfft)
+        if self.n_delay_bins > self.nfft:
+            raise ValueError(
+                f"delay window [{self.delay_min}, {self.delay_max}] asks for "
+                f"{self.n_delay_bins} lags but each of the "
+                f"{self.n_doppler_bins} pulses has only n_corr="
+                f"{self.n_corr} samples (nfft={self.nfft}): shrink the "
+                f"delay range, the Doppler span, or raise fs*cpi "
+                f"(previously this crashed downstream with a shape "
+                f"mismatch)")
         # Compute size: any length >= 2*n_corr-1 yields identical lag values
         # (the correlation is linear once zero-padded past that), so pad
         # further to a TPU-fast size — without a large power-of-2 factor the

@@ -157,18 +157,12 @@ class CpiPipeline:
                 self.fused_detector = FusedDetector.from_config(
                     proc, self.ambiguity, max_detections=max_detections)
 
-        def fn(xp: jnp.ndarray, yp: jnp.ndarray) -> CpiOutputs:
-            # Inputs are real/imag planes (n, 2): complex64 host<->device
-            # transfers are unsupported on some TPU transports, and split
-            # planes are the natural TPU layout anyway. int16 planes (raw
-            # ADC counts, the SDR wire format) are accepted and widened
-            # on-device — 4x less host->device traffic than f32. Complex is
-            # formed on-device.
+        def complex_of_parts(re, im):
             real = jnp.float64 if dtype == jnp.complex128 else jnp.float32
-            xp = xp.astype(real)
-            yp = yp.astype(real)
-            x = jax.lax.complex(xp[:, 0], xp[:, 1]).astype(dtype)
-            y = jax.lax.complex(yp[:, 0], yp[:, 1]).astype(dtype)
+            return jax.lax.complex(re.astype(real),
+                                   im.astype(real)).astype(dtype)
+
+        def fn_complex(x: jnp.ndarray, y: jnp.ndarray) -> CpiOutputs:
             spec_db = SpectrumAnalyser.to_db(self.spectrum(x))
             sub_db = None if self.spectrum_sub is None \
                 else self._sub_spectra_db(x)
@@ -198,22 +192,36 @@ class CpiPipeline:
                 sub_spectra_db=sub_db,
             )
 
+        def fn(xp: jnp.ndarray, yp: jnp.ndarray) -> CpiOutputs:
+            # Inputs are real/imag planes (n, 2): complex64 host<->device
+            # transfers are unsupported on some TPU transports, and split
+            # planes are the natural TPU layout anyway. int16 planes (raw
+            # ADC counts, the SDR wire format) are accepted and widened
+            # on-device — 4x less host->device traffic than f32. Complex is
+            # formed on-device.
+            return fn_complex(complex_of_parts(xp[:, 0], xp[:, 1]),
+                              complex_of_parts(yp[:, 0], yp[:, 1]))
+
         self._fn = jax.jit(fn) if use_jit else fn
+        self._fn_complex = fn_complex
+        self._complex_of_parts = complex_of_parts
         # Quad entry: one (n, 4) int16 [i1,q1,i2,q2] array — the replay/SDR
         # record format (RspDuo.cpp:150-179) — as a SINGLE host->device
         # transfer; channels split and widen on device.
         self._fn_quad = jax.jit(lambda q: fn(q[:, :2], q[:, 2:]))
         # Packed-12-bit entry (ops.pack12): the RSPduo digitises at 12
         # bits, so quads pack losslessly two values per 3 bytes — 25%
-        # fewer host->device bytes than int16; unpack is a few fused VPU
-        # shifts on device.
-        n_vals = 4 * n
+        # fewer host->device bytes than int16. The planar component-major
+        # layout (pack12_quads) makes the unpack pure contiguous vector
+        # ops — the previous interleaved layout's relayouts cost more
+        # than the entire DSP pipeline (see ops/pack12.py).
 
         def fn_quad12(packed):
-            from blah2_tpu.ops.pack12 import unpack12
+            from blah2_tpu.ops.pack12 import unpack12_quads
 
-            q = unpack12(packed, n_vals).reshape(n, 4)
-            return fn(q[:, :2], q[:, 2:])
+            xr, xi, yr, yi = unpack12_quads(packed, n)
+            return fn_complex(complex_of_parts(xr, xi),
+                              complex_of_parts(yr, yi))
 
         self._fn_quad12 = jax.jit(fn_quad12)
         self._fn_raw = fn
@@ -336,13 +344,18 @@ class CpiPipeline:
             fn = self._fn_raw
 
             def fnc(xc, yc):
-                from blah2_tpu.ops.pack12 import unpack_planes
+                from blah2_tpu.ops.pack12 import unpack_components
 
                 def cat(chunks):
-                    return jnp.concatenate(
-                        [unpack_planes(ch) for ch in chunks], axis=0)
+                    # Component-wise concatenation: packed chunks decode
+                    # to contiguous (re, im) vectors (zero relayouts);
+                    # plane chunks split by column as before.
+                    parts = [unpack_components(ch) for ch in chunks]
+                    return self._complex_of_parts(
+                        jnp.concatenate([p[0] for p in parts]),
+                        jnp.concatenate([p[1] for p in parts]))
 
-                return fn(cat(xc), cat(yc))
+                return self._fn_complex(cat(xc), cat(yc))
 
             prog = jax.jit(fnc)
             self._chunked_cache[key] = prog

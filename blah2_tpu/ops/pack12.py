@@ -9,15 +9,27 @@ direct-attached hosts), so the pipeline accepts CPIs packed two 12-bit
 values per 3 bytes: 25 % fewer bytes than int16 with bit-exact round-trip
 for in-range data.
 
-Packing runs on the host (vectorised NumPy, ~ms per 1.5 Msample CPI);
-unpacking runs inside the jitted device program (a handful of elementwise
-integer shifts on the VPU, fused with the complex formation) so the saved
-bytes are pure win.
+Layout (round 4, TPU-lane-friendly): the flat value sequence is paired
+``(v[j], v[j + N/2])`` and the three bytes of each pair are stored in
+PLANAR segments — all byte0s, then all byte1s, then all byte2s:
 
-Layout per value pair (u = v + 2048, unsigned 12-bit):
-    byte0 = u0 >> 4
-    byte1 = ((u0 & 0xF) << 4) | (u1 >> 8)
-    byte2 = u1 & 0xFF
+    u0 = v[j] + 2048, u1 = v[j + N/2] + 2048   (unsigned 12-bit)
+    B0[j] = u0 >> 4
+    B1[j] = ((u0 & 0xF) << 4) | (u1 >> 8)
+    B2[j] = u1 & 0xFF
+    packed = concat(B0, B1, B2)
+
+Device unpack is then three contiguous byte vectors → two shift/or
+expressions → ``concat(u0, u1)``: pure lane-aligned VPU ops with ZERO
+relayouts. The previous interleaved layout (triplets of bytes, value
+pairs adjacent) forced stride-3/stride-2 relayouts that cost 6.2 ms per
+CPI on v5e — more than the entire fused DSP pipeline (3.7 ms,
+PROBE_STAGE_r04); the planar layout measures ~0.05 ms. Callers arrange
+the flat sequence component-major (``pack12_quads`` / ``pack12_planes``)
+so every downstream component is a contiguous slice too.
+
+Packing runs on the host (vectorised NumPy, ~ms per 1.5 Msample CPI);
+unpacking runs inside the jitted device program.
 """
 
 from __future__ import annotations
@@ -31,8 +43,9 @@ MIN12, MAX12 = -2048, 2047
 
 def pack12(values: np.ndarray) -> np.ndarray:
     """Pack an int16/int32 array (even count, each in [-2048, 2047]) into
-    a uint8 array of 3 bytes per 2 values. Out-of-range input raises —
-    packing must be lossless (use the int16 path for >12-bit sources)."""
+    a planar uint8 array of 3 bytes per 2 values (see module docstring).
+    Out-of-range input raises — packing must be lossless (use the int16
+    path for >12-bit sources)."""
     v = np.asarray(values).reshape(-1)
     if v.size % 2:
         raise ValueError("pack12 needs an even number of values")
@@ -40,41 +53,77 @@ def pack12(values: np.ndarray) -> np.ndarray:
         raise ValueError(
             f"pack12 input exceeds 12-bit range [{MIN12}, {MAX12}]: "
             f"[{v.min()}, {v.max()}]")
-    u = (v.astype(np.int32) + OFFSET).astype(np.uint32).reshape(-1, 2)
-    out = np.empty((u.shape[0], 3), dtype=np.uint8)
-    out[:, 0] = u[:, 0] >> 4
-    out[:, 1] = ((u[:, 0] & 0xF) << 4) | (u[:, 1] >> 8)
-    out[:, 2] = u[:, 1] & 0xFF
-    return out.reshape(-1)
+    u = (v.astype(np.int32) + OFFSET).astype(np.uint32)
+    half = v.size // 2
+    u0, u1 = u[:half], u[half:]
+    out = np.empty(3 * half, dtype=np.uint8)
+    out[:half] = u0 >> 4
+    out[half:2 * half] = ((u0 & 0xF) << 4) | (u1 >> 8)
+    out[2 * half:] = u1 & 0xFF
+    return out
 
 
 def unpack12(packed: jnp.ndarray, n_values: int) -> jnp.ndarray:
-    """Device-side unpack: uint8 (3·n/2,) → int32 (n,). Traceable; a few
-    VPU shifts, fuses with downstream complex formation."""
-    b = packed.reshape(-1, 3).astype(jnp.int32)
-    u0 = (b[:, 0] << 4) | (b[:, 1] >> 4)
-    u1 = ((b[:, 1] & 0xF) << 8) | b[:, 2]
-    u = jnp.stack([u0, u1], axis=-1).reshape(-1)
-    return u[:n_values] - OFFSET
+    """Device-side unpack: planar uint8 (3·n/2,) → int32 (n,).
+    Contiguous-segment shifts + one concat; no relayouts."""
+    half = n_values // 2
+    b0 = packed[:half].astype(jnp.int32)
+    b1 = packed[half:2 * half].astype(jnp.int32)
+    b2 = packed[2 * half:3 * half].astype(jnp.int32)
+    u0 = (b0 << 4) | (b1 >> 4)
+    u1 = ((b1 & 0xF) << 8) | b2
+    return jnp.concatenate([u0, u1]) - OFFSET
+
+
+def pack12_quads(quads: np.ndarray) -> np.ndarray:
+    """Pack an (n, 4) int16 quad buffer [i1,q1,i2,q2] component-major, so
+    ``unpack12_quads`` yields each of xr/xi/yr/yi as a contiguous slice."""
+    return pack12(np.ascontiguousarray(np.asarray(quads).T))
+
+
+def unpack12_quads(packed: jnp.ndarray, n_samples: int):
+    """Device-side quad unpack → ``(xr, xi, yr, yi)`` int32 vectors of
+    length ``n_samples``, all contiguous slices of one unpack."""
+    v = unpack12(packed, 4 * n_samples)
+    n = n_samples
+    return v[:n], v[n:2 * n], v[2 * n:3 * n], v[3 * n:]
+
+
+def pack12_planes(planes: np.ndarray) -> np.ndarray:
+    """Pack an (m, 2) int16 real/imag plane block component-major (all
+    reals, then all imags)."""
+    return pack12(np.ascontiguousarray(np.asarray(planes).T))
+
+
+def unpack_components(chunk: jnp.ndarray):
+    """Decode one wire chunk to ``(re, im)`` contiguous vectors.
+
+    The single definition of the chunked wire format's decode rule:
+    packed-12-bit uint8 chunks unpack on device (planar — zero
+    relayouts); int/float (m, 2) plane chunks split by column (the plain
+    planes path). Traceable under jit."""
+    if chunk.dtype == jnp.uint8:
+        v = unpack12(chunk, (chunk.size * 2) // 3)
+        m = v.shape[0] // 2
+        return v[:m], v[m:]
+    return chunk[:, 0], chunk[:, 1]
 
 
 def unpack_planes(chunk: jnp.ndarray) -> jnp.ndarray:
-    """Decode one wire chunk to ``(m, 2)`` real/imag planes.
-
-    The single definition of the chunked wire format's decode rule (used
-    by the fused chunk program, the runtime's staged-sample path, and the
-    tests): packed-12-bit uint8 chunks unpack on device; int/float plane
-    chunks pass through unchanged. Traceable under jit.
-    """
+    """Decode one wire chunk to ``(m, 2)`` planes (compat shape for the
+    staged-sample path, which reuses the plane-input staged programs; the
+    hot fused path uses :func:`unpack_components` and never interleaves)."""
     if chunk.dtype == jnp.uint8:
-        return unpack12(chunk, (chunk.size * 2) // 3).reshape(-1, 2)
+        re, im = unpack_components(chunk)
+        return jnp.stack([re, im], axis=-1)
     return chunk
 
 
 def unpack12_np(packed: np.ndarray, n_values: int) -> np.ndarray:
     """NumPy reference unpack (tests, host-side tooling)."""
-    b = np.asarray(packed, dtype=np.uint32).reshape(-1, 3)
-    u0 = (b[:, 0] << 4) | (b[:, 1] >> 4)
-    u1 = ((b[:, 1] & 0xF) << 8) | b[:, 2]
-    u = np.stack([u0, u1], axis=-1).reshape(-1)
-    return u[:n_values].astype(np.int32) - OFFSET
+    half = n_values // 2
+    b = np.asarray(packed, dtype=np.uint32)
+    b0, b1, b2 = b[:half], b[half:2 * half], b[2 * half:3 * half]
+    u0 = (b0 << 4) | (b1 >> 4)
+    u1 = ((b1 & 0xF) << 8) | b2
+    return np.concatenate([u0, u1]).astype(np.int32) - OFFSET

@@ -395,10 +395,10 @@ class RadarRuntime:
         p = self._wire(planes)
         if self._pack12_ok and isinstance(p, np.ndarray) and \
                 p.dtype == np.int16:
-            from blah2_tpu.ops.pack12 import pack12
+            from blah2_tpu.ops.pack12 import pack12_planes
 
             try:
-                return pack12(p)
+                return pack12_planes(p)
             except ValueError:  # exceeds 12-bit range: real 16-bit stream
                 self._pack12_ok = False
         return p

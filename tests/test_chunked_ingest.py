@@ -35,9 +35,11 @@ def _chunk_col0(chunks):
     cols = []
     for p in chunks:
         a = np.asarray(p)
-        if a.dtype == np.uint8:  # packed-12-bit chunk
-            a = unpack12_np(a, (a.size * 2) // 3).reshape(-1, 2)
-        cols.append(a[:, 0])
+        if a.dtype == np.uint8:  # packed-12-bit chunk (planar [re|im])
+            v = unpack12_np(a, (a.size * 2) // 3)
+            cols.append(v[: v.size // 2])
+        else:
+            cols.append(a[:, 0])
     return np.concatenate(cols)
 
 

@@ -4,8 +4,8 @@ pipeline equivalence with the int16 quad path."""
 import numpy as np
 import pytest
 
-from blah2_tpu.ops.pack12 import (MAX12, MIN12, pack12, unpack12,
-                                  unpack12_np)
+from blah2_tpu.ops.pack12 import (MAX12, MIN12, pack12,
+                                  pack12_quads, unpack12, unpack12_np)
 
 
 def test_roundtrip_exact_full_range():
@@ -65,10 +65,49 @@ def test_pipeline_quad12_matches_quad():
     quads[:, 3] = np.clip(y.imag * 500, MIN12, MAX12)
 
     out_quad = pipe.call_quad(quads)
-    out_packed = pipe.call_quad12(pack12(quads))
+    out_packed = pipe.call_quad12(pack12_quads(quads))
     np.testing.assert_array_equal(np.asarray(out_quad.db_map),
                                   np.asarray(out_packed.db_map))
     np.testing.assert_array_equal(np.asarray(out_quad.detections.valid),
                                   np.asarray(out_packed.detections.valid))
     v = np.asarray(out_packed.detections.valid)
     assert v.any()  # the target is detected through the packed path
+
+
+def test_planar_layout_segments():
+    """The round-4 planar layout: byte segments B0|B1|B2 with value j
+    paired against value j+N/2 (pure contiguous device unpack)."""
+    v = np.arange(-8, 8, dtype=np.int16)
+    p = pack12(v)
+    half = v.size // 2
+    u = (v.astype(np.int32) + 2048).astype(np.uint32)
+    np.testing.assert_array_equal(p[:half], u[:half] >> 4)
+    np.testing.assert_array_equal(
+        p[half:2 * half], ((u[:half] & 0xF) << 4) | (u[half:] >> 8))
+    np.testing.assert_array_equal(p[2 * half:], u[half:] & 0xFF)
+
+
+def test_quads_components_contiguous():
+    from blah2_tpu.ops.pack12 import unpack12_quads
+
+    rng = np.random.default_rng(3)
+    n = 512
+    quads = rng.integers(MIN12, MAX12 + 1, size=(n, 4)).astype(np.int16)
+    xr, xi, yr, yi = (np.asarray(a)
+                      for a in unpack12_quads(pack12_quads(quads), n))
+    np.testing.assert_array_equal(xr, quads[:, 0])
+    np.testing.assert_array_equal(xi, quads[:, 1])
+    np.testing.assert_array_equal(yr, quads[:, 2])
+    np.testing.assert_array_equal(yi, quads[:, 3])
+
+
+def test_planes_components_contiguous():
+    from blah2_tpu.ops.pack12 import pack12_planes, unpack_components
+
+    rng = np.random.default_rng(4)
+    m = 300
+    planes = rng.integers(MIN12, MAX12 + 1, size=(m, 2)).astype(np.int16)
+    re, im = (np.asarray(a)
+              for a in unpack_components(pack12_planes(planes)))
+    np.testing.assert_array_equal(re, planes[:, 0])
+    np.testing.assert_array_equal(im, planes[:, 1])

@@ -39,7 +39,7 @@ def main() -> None:
 
     from __graft_entry__ import _default_config
     from blah2_tpu.dsp.pipeline import CpiPipeline
-    from blah2_tpu.ops.pack12 import MAX12, MIN12, pack12
+    from blah2_tpu.ops.pack12 import MAX12, MIN12, pack12_quads
 
     cfg = _default_config()
     n, fs = cfg.n_samples, cfg.capture.fs
@@ -56,7 +56,7 @@ def main() -> None:
         def planes_i12(v):
             p = pipe.to_planes(v) * 400.0
             return np.clip(p, MIN12, MAX12).astype(np.int16)
-        bufs.append(pack12(np.ascontiguousarray(
+        bufs.append(pack12_quads(np.ascontiguousarray(
             np.concatenate([planes_i12(x), planes_i12(y)], axis=1))))
 
     print("warmup (compile)...", flush=True)

@@ -52,7 +52,7 @@ def main() -> None:
         cfg = _default_config()
 
     from blah2_tpu.dsp.pipeline import CpiPipeline
-    from blah2_tpu.ops.pack12 import pack12
+    from blah2_tpu.ops.pack12 import pack12_planes, pack12_quads
 
     pipe = CpiPipeline(cfg)
     n = cfg.n_samples
@@ -73,13 +73,13 @@ def main() -> None:
     step("fused int16 planes", lambda: np.asarray(
         pipe._fn(i16, i16).noise_power))
     step("fused quad12", lambda: np.asarray(
-        pipe.call_quad12(pack12(quads)).noise_power))
+        pipe.call_quad12(pack12_quads(quads)).noise_power))
 
     # Chunked-ingest program (production default geometry: 8 chunks).
     B = 8
     if n % B == 0:
         c = n // B
-        chunks = [jax.device_put(pack12(np.zeros((c, 2), np.int16)))
+        chunks = [jax.device_put(pack12_planes(np.zeros((c, 2), np.int16)))
                   for _ in range(B)]
         step("chunked quad12 x8", lambda: np.asarray(
             pipe.call_chunks(chunks, chunks).noise_power))
