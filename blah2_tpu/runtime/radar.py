@@ -333,11 +333,16 @@ class RadarRuntime:
         """Tear down and re-create the device transport between CPIs.
 
         Mitigation for transports whose native client retains per-RPC
-        memory (the tunneled single-chip transport here grows ~8 MB/CPI
-        host RSS, SOAK_r03 — not product code, but a long run would OOM
-        between watchdog intervals). Dropping every backend handle forces
-        the PJRT client to be rebuilt on next use; jitted executables
-        reload from the persistent compile cache (seconds, not minutes).
+        memory — IF the client frees on destruction. Measured on THIS
+        host's tunneled transport it does NOT (SOAK_r04
+        ``recycle_experiment``): RSS kept growing across recycles, so the
+        retention lives in the plugin's process-global state and the
+        production mitigation there is a bounded process lifetime
+        (``--cpis N`` + the deployment restart policy; restart cost =
+        persistent-cache reload). The mechanism is kept, correctness
+        across recycles is tested: every backend handle is dropped so
+        the PJRT client rebuilds on next use; jitted executables reload
+        from the persistent compile cache (seconds, not minutes).
         Device-resident overlap tails are discarded (same seam semantics
         as a ring overflow: the next window assembles fresh). Returns the
         recycle wall time in seconds. Wire into the loop with
