@@ -203,6 +203,7 @@ class RadarRuntime:
         # dispatch_ms) of the CPI whose products are fetched one CPI later.
         self.defer_fetch = bool(defer_fetch) and not self.staged_timing
         self._pending_out = None
+        self._pending_batch = None  # mesh-mode deferred batch
         # Periodic transport recycle (see recycle_transport): 0 disables.
         self.recycle_every_cpis = max(0, int(recycle_every_cpis))
         # Wire dtype for host->device ingest: sources that deliver integer
@@ -715,20 +716,40 @@ class RadarRuntime:
         the ``cpi`` key reports each product's TRUE latency — emission
         time minus that window's extraction stamp — which includes the
         wait for the batch to fill (~batch·tCpi at steady state; the
-        throughput-for-latency trade of mesh mode). Returns the list of
-        emitted-JSON dicts.
-        """
-        import jax
-
+        throughput-for-latency trade of mesh mode) and, under
+        ``defer_fetch``, the one-batch deferral. Returns the list of
+        emitted-JSON dicts, or ``None`` when deferred (the previous
+        batch was emitted inside; the caller flushes the last batch via
+        ``_flush_pending_batch``)."""
+        t_dev0 = time.perf_counter()
         xb = np.stack([w[0] for w in windows])
         yb = np.stack([w[1] for w in windows])
-        t_dev0 = time.perf_counter()
         xj, yj = self.sharded.shard_inputs(xb, yb)
         out = self.sharded(xj, yj)
-        # One batched fetch of the whole batch's products; also forces
-        # end-to-end completion (block_until_ready returns early on some
-        # remote transports). Multi-host meshes shard the batch across
-        # processes, so gather globally there.
+        dispatch_ms = (time.perf_counter() - t_dev0) * 1e3
+        if self.defer_fetch:
+            # Batch-level deferral (mesh analog of the single-chip
+            # protocol): fetch+emit the PREVIOUS batch behind this one's
+            # in-flight shard transfer/compute. Mesh mode's ``cpi`` key
+            # is already true product latency (emission − extraction),
+            # so the extra batch of deferral shows up there honestly.
+            self._flush_pending_batch()
+            self._pending_batch = (out, list(stamps),
+                                   list(extract_ms or []), dispatch_ms)
+            return None
+        fetched, fetch_ms = self._fetch_batch(out)
+        return self._emit_batch(fetched, stamps, list(extract_ms or []),
+                                dispatch_ms + fetch_ms)
+
+    @staticmethod
+    def _fetch_batch(out):
+        """Device->host fetch of one batch's products; forces end-to-end
+        completion (block_until_ready returns early on some remote
+        transports). Multi-host meshes shard the batch across processes,
+        so gather globally there."""
+        import jax
+
+        t0 = time.perf_counter()
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
@@ -737,9 +758,24 @@ class RadarRuntime:
                     multihost_utils.process_allgather(a, tiled=True)), out)
         else:
             out = jax.device_get(out)
-        device_ms = (time.perf_counter() - t_dev0) * 1e3
-        n_batch = len(windows)
+        return out, (time.perf_counter() - t0) * 1e3
 
+    def _flush_pending_batch(self) -> Optional[list]:
+        """Fetch and emit the deferred mesh batch (see process_cpi_batch)."""
+        pending = self._pending_batch
+        if pending is None:
+            return None
+        self._pending_batch = None
+        out_dev, stamps, extract_ms, dispatch_ms = pending
+        fetched, fetch_ms = self._fetch_batch(out_dev)
+        return self._emit_batch(fetched, stamps, extract_ms,
+                                dispatch_ms + fetch_ms)
+
+    def _emit_batch(self, out, stamps, extract_ms, device_ms) -> list:
+        """Per-CPI product emission for one fetched mesh batch."""
+        import jax
+
+        n_batch = len(stamps)
         results = []
         for i in range(n_batch):
             out_i = jax.tree.map(lambda a: a[i], out)
@@ -747,7 +783,7 @@ class RadarRuntime:
             emitted = self._emit_products(out_i, stamps[i])
             names = ["extract_buffer", "ambiguity_processing"] + \
                 self.timer.names
-            times = [extract_ms[i] if extract_ms else 0.0,
+            times = [extract_ms[i] if i < len(extract_ms) else 0.0,
                      device_ms / n_batch] + self.timer.times_ms
             names.append("cpi")
             times.append(float(_now_ms() - stamps[i]))
@@ -981,13 +1017,16 @@ class RadarRuntime:
                 if len(windows) < self.cpi_batch:
                     continue
                 t0 = time.perf_counter()
-                self.process_cpi_batch(windows, stamps, extracts)
+                res = self.process_cpi_batch(windows, stamps, extracts)
                 if not quiet:
                     per = (time.perf_counter() - t0) * 1e3 / len(windows)
+                    tag = " dispatched, deferred" if res is None else ""
                     print(f"CPI time (ms): {per:.1f} "
-                          f"(batch of {len(windows)})", flush=True)
+                          f"(batch of {len(windows)}{tag})", flush=True)
                 self.n_cpis_done += len(windows)
                 windows, stamps, extracts = [], [], []
+            # Drain the deferred batch so every processed CPI emits.
+            self._flush_pending_batch()
             return
 
         chunked = self.ingest_chunks > 1 and not self.staged_timing

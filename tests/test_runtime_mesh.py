@@ -54,6 +54,8 @@ def test_mesh_runtime_emits_per_cpi_products(mesh):
 
     results = rt.process_cpi_batch(
         list(zip(xs, ys)), [1000, 1100])
+    assert results is None  # deferred (production default): one batch behind
+    results = rt._flush_pending_batch()
     assert len(results) == 2
 
     # Products must match the sharded pipeline called directly per window.
