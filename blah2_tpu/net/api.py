@@ -99,6 +99,13 @@ class _IngestHandler(socketserver.BaseRequestHandler):
     twice). The wire contract is unchanged — the same chunked streams are
     accepted, just framed correctly."""
 
+    #: Resync bound: no product document approaches this (the full map is
+    #: ~2 MB); a buffer past it means the head is poisoned by a malformed
+    #: document, so the head is dropped to the next '{' to resynchronise
+    #: (the replaced trailing-'}' framing recovered by accident: it
+    #: published the garbage and cleared the buffer).
+    MAX_BUF = 32 * 1024 * 1024
+
     def handle(self):
         product = self.server.product  # type: ignore[attr-defined]
         state = self.server.state  # type: ignore[attr-defined]
@@ -120,14 +127,33 @@ class _IngestHandler(socketserver.BaseRequestHandler):
                 continue  # mid-document; keep accumulating
             idx = 0
             while idx < len(buf):
+                while idx < len(buf) and buf[idx] in " \t\r\n":
+                    idx += 1
+                if idx >= len(buf):
+                    break
+                if buf[idx] != "{":
+                    # Junk before the next document (malformed sender):
+                    # skip to the next document start.
+                    nxt = buf.find("{", idx)
+                    if nxt < 0:
+                        idx = len(buf)
+                        break
+                    idx = nxt
                 try:
                     doc, end = decoder.raw_decode(buf, idx)
                 except ValueError:
-                    break  # trailing partial document (or '}' in a string)
+                    # Trailing partial document (or '}' inside a string)
+                    # — keep accumulating. If the buffer has grown far
+                    # beyond any real product, the head is a poisoned
+                    # document that will never parse: drop it to the
+                    # next '{' so the stream resynchronises.
+                    if len(buf) - idx > self.MAX_BUF:
+                        nxt = buf.find("{", idx + 1)
+                        idx = nxt if nxt > 0 else len(buf)
+                        continue
+                    break
                 state.publish(product, buf[idx:end], parsed=doc)
                 idx = end
-                while idx < len(buf) and buf[idx] in " \t\r\n":
-                    idx += 1
             buf = buf[idx:]
 
 

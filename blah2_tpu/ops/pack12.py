@@ -65,7 +65,10 @@ def pack12(values: np.ndarray) -> np.ndarray:
 
 def unpack12(packed: jnp.ndarray, n_values: int) -> jnp.ndarray:
     """Device-side unpack: planar uint8 (3·n/2,) → int32 (n,).
-    Contiguous-segment shifts + one concat; no relayouts."""
+    Contiguous-segment shifts + one concat; no relayouts. ``n_values``
+    must be even (the pairing is v[j] ↔ v[j+n/2]; pack12 enforces it)."""
+    if n_values % 2:
+        raise ValueError("unpack12 needs an even n_values")
     half = n_values // 2
     b0 = packed[:half].astype(jnp.int32)
     b1 = packed[half:2 * half].astype(jnp.int32)
@@ -121,6 +124,8 @@ def unpack_planes(chunk: jnp.ndarray) -> jnp.ndarray:
 
 def unpack12_np(packed: np.ndarray, n_values: int) -> np.ndarray:
     """NumPy reference unpack (tests, host-side tooling)."""
+    if n_values % 2:
+        raise ValueError("unpack12_np needs an even n_values")
     half = n_values // 2
     b = np.asarray(packed, dtype=np.uint32)
     b0, b1, b2 = b[:half], b[half:2 * half], b[2 * half:3 * half]

@@ -1009,6 +1009,9 @@ class RadarRuntime:
                     break
                 got = self._extract_cpi()
                 if got is None:
+                    # Capture stall: emit the deferred batch now rather
+                    # than withholding finished products for the gap.
+                    self._flush_pending_batch()
                     continue
                 self.timer.stage("extract_buffer")
                 windows.append(got)
@@ -1039,6 +1042,12 @@ class RadarRuntime:
             else:
                 got = self._extract_cpi()
             if got is None:
+                # Capture stall: the deferred CPI's products are done on
+                # device — emit them now rather than withholding them for
+                # the whole gap (they would otherwise go stale past the
+                # deferral's documented one-CPI bound, possibly past the
+                # watchdog's 60 s staleness window).
+                self._flush_pending()
                 continue
             x, y = got
             t0 = _now_ms()
@@ -1049,26 +1058,24 @@ class RadarRuntime:
             else:
                 res = self.process_one_cpi(x, y, t0)
             self.n_cpis_done += 1
+            if res is not None:
+                # Synchronous emission: finish this CPI's timing product
+                # before any recycle below (a recycled CPI must not lose
+                # its timing/timestamp).
+                cpi_ms = self.timer.finish_cpi()
+                if not quiet:
+                    print(f"CPI time (ms): {cpi_ms:.1f}", flush=True)
+                self._emit_timing(t0, self.timer.times_ms, self.timer.names)
+                self._emit("timestamp", str(t0))
+            # else: deferred fetch — the previous CPI's products and
+            # timing were emitted inside; this CPI's are pending (the
+            # recycle below flushes them first).
             if self.recycle_every_cpis and \
                     self.n_cpis_done % self.recycle_every_cpis == 0:
                 dt = self.recycle_transport()
                 if not quiet:
                     print(f"[recycle] transport recycled in {dt:.1f} s "
                           f"(CPI {self.n_cpis_done})", flush=True)
-                continue
-            if res is None:
-                # Deferred fetch: the previous CPI's products and timing
-                # were emitted inside; this CPI's are pending.
-                continue
-            cpi_ms = self.timer.finish_cpi()
-            if not quiet:
-                print(f"CPI time (ms): {cpi_ms:.1f}", flush=True)
-
-            # Timing product
-            self._emit_timing(t0, self.timer.times_ms, self.timer.names)
-
-            # Timestamp broadcast
-            self._emit("timestamp", str(t0))
         if chunked:
             # Drain the deferred CPI so every processed CPI emits.
             self._flush_pending()

@@ -76,10 +76,10 @@ class TestFftTableLookup:
         v = hamming.next_tpu_fft_size(750_410)
         assert v == 768000 and hamming.is_hamming(v) and v % 128 == 0
 
-    def test_repo_table_if_present_is_wellformed(self):
+    def test_repo_table_if_present_is_wellformed(self, monkeypatch):
         from blah2_tpu.dsp import hamming
 
-        hamming._FFT_TABLE = None
+        monkeypatch.setattr(hamming, "_FFT_TABLE", None)
         t = hamming._fft_table()
         if t is None:
             return  # table not generated in this checkout

@@ -154,6 +154,49 @@ def test_ingest_splits_coalesced_documents():
         srv.server_close()
 
 
+def test_ingest_resyncs_after_poisoned_prefix(monkeypatch):
+    """A malformed document at the buffer head must not wedge the
+    connection forever: junk before a document start is skipped
+    immediately, and an unparseable '{...'-head is dropped to the next
+    document once the buffer exceeds the resync bound."""
+    import socket
+    import threading
+
+    from blah2_tpu.net.api import ApiState, _IngestHandler, _IngestServer
+
+    monkeypatch.setattr(_IngestHandler, "MAX_BUF", 64)
+    state = ApiState()
+    srv = _IngestServer(("127.0.0.1", 0), "detection", state)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def wait_value(want, timeout=5.0):
+        deadline = time.monotonic() + timeout
+        while state.get("detection") != want:
+            if time.monotonic() > deadline:
+                return False
+            time.sleep(0.01)
+        return True
+
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        good1 = json.dumps({"timestamp": 1, "delay": [1.0]})
+        # Junk prefix before a document start: skipped immediately.
+        s.sendall((")))junk" + good1).encode())
+        assert wait_value(good1)
+        # Poisoned head: '{'-leading but never parseable; once the buffer
+        # grows past MAX_BUF the head is dropped and the stream recovers.
+        s.sendall(b'{"bad": }')
+        good2 = json.dumps({"timestamp": 2, "delay": [2.0],
+                            "pad": "x" * 80})
+        s.sendall(good2.encode())
+        assert wait_value(good2)
+        s.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_standalone_api_serves_config_and_web(tcp_topology):
     def get(path):
         with urllib.request.urlopen(
