@@ -16,7 +16,11 @@ Axes (SURVEY §2.5):
 On a real multi-chip TPU slice this measures ICI-scaled throughput. With
 --virtual N it builds an N-device CPU mesh instead — that validates the
 *collectives and sharding* at any size, but the virtual devices share one
-host's cores, so efficiency numbers there reflect the host, not the design.
+host's cores, so efficiency numbers there reflect the host, not the
+design. For defensible efficiency numbers WITHOUT a real slice use
+`tools/scaling_projection.py --measure` (SCALING_r04.json): measured
+per-rank compute + HLO-audited collective bytes + stated ICI assumptions
+— it replaced the virtual sweeps as the scaling artifact in round 4.
 
 Examples:
   python bench_scaling.py --virtual 8 --mode both
