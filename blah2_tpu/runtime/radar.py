@@ -160,6 +160,10 @@ class RadarRuntime:
                     config, mesh, max_detections=max_detections,
                     halo_backend=halo_backend, row_shard=row_shard)
             self.cpi_batch = int(mesh.shape["cpi"])
+            # For recycle_transport: rebuild options (row_shard resolved
+            # to the pipeline's actual boolean — no recalibration).
+            self._mesh_opts = dict(
+                max_detections=max_detections, halo_backend=halo_backend)
 
         from blah2_tpu.native import make_ring_buffer
 
@@ -314,21 +318,23 @@ class RadarRuntime:
         signal.signal(signal.SIGTERM, handler)
         signal.signal(signal.SIGINT, handler)
 
-    def stop(self) -> None:
-        self._stop.set()
-        self.capture.stop()
-        self.buffer1.close()
-        self.buffer2.close()
-        # Drain the staged-warmup thread: it bails at the next stage
-        # boundary, but an in-flight XLA compile must finish before the
-        # interpreter may exit (native teardown under a live compile
-        # aborts the process).
+    def _join_staged_warmup(self) -> None:
+        """Drain the staged-warmup thread: it bails at the next stage
+        boundary, but an in-flight XLA compile must finish before native
+        teardown (a teardown under a live compile aborts the process)."""
         t = self._staged_warmup_thread
         if t is not None and t is not threading.current_thread() \
                 and t.is_alive():
             print("[timing] waiting for the staged-timing warmup compile "
                   "to finish...", flush=True)
             t.join()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.capture.stop()
+        self.buffer1.close()
+        self.buffer2.close()
+        self._join_staged_warmup()
 
     def recycle_transport(self) -> float:
         """Tear down and re-create the device transport between CPIs.
@@ -352,14 +358,12 @@ class RadarRuntime:
 
         t0 = time.perf_counter()
         self._flush_pending()
+        self._flush_pending_batch()
         self._retained_chunks = []
         self._pending_chunks = []
         self._tail_x = self._tail_y = None
         # Staged-warmup thread may hold live executables; let it finish.
-        t = self._staged_warmup_thread
-        if t is not None and t is not threading.current_thread() \
-                and t.is_alive():
-            t.join()
+        self._join_staged_warmup()
         try:
             jax.clear_caches()
             jax.extend.backend.clear_backends()
@@ -373,6 +377,19 @@ class RadarRuntime:
         if self.staged_sample_every > 0 and self._staged_ready.is_set():
             self._staged_ready.clear()
             self._staged_warmup_thread = None
+        if self.sharded is not None:
+            # The Mesh and NamedShardings bind the DEAD device objects:
+            # rebuild the sharded pipeline on the fresh backend (compiled
+            # programs reload from the persistent cache; the resolved
+            # row_shard boolean carries over — no recalibration).
+            from blah2_tpu.parallel.mesh import make_radar_mesh
+            from blah2_tpu.parallel.sharded import ShardedCpiPipeline
+
+            shape = dict(self.sharded.mesh.shape)
+            self.sharded = ShardedCpiPipeline(
+                self.config, make_radar_mesh(shape["cpi"], shape["pulse"]),
+                row_shard=bool(self.sharded._row_shard),
+                **self._mesh_opts)
         return time.perf_counter() - t0
 
     # -- the CPI loop --------------------------------------------------------
@@ -647,7 +664,16 @@ class RadarRuntime:
                 [unpack_planes(ch) for ch in chunks], axis=0)
 
         if self._is_sample_cpi():
-            self._flush_pending()  # keep product order monotonic
+            # Flush the deferred CPI first (product order stays
+            # monotonic) and shift the live timer past the flush wall so
+            # the flushed CPI's fetch+emit cost is not double-counted
+            # into this sample CPI's own 'cpi' measurement.
+            t_f0 = time.perf_counter()
+            self._flush_pending()
+            shift = int((time.perf_counter() - t_f0) * 1e6)
+            if self.timer.marks_us:
+                self.timer.marks_us = [m + shift
+                                       for m in self.timer.marks_us]
             out = self._run_staged_sample(cat_planes(x_chunks),
                                           cat_planes(y_chunks))
             return self._emit_products(out, t0)
@@ -721,9 +747,9 @@ class RadarRuntime:
         emitted-JSON dicts, or ``None`` when deferred (the previous
         batch was emitted inside; the caller flushes the last batch via
         ``_flush_pending_batch``)."""
-        t_dev0 = time.perf_counter()
-        xb = np.stack([w[0] for w in windows])
+        xb = np.stack([w[0] for w in windows])  # host memcpy: not device
         yb = np.stack([w[1] for w in windows])
+        t_dev0 = time.perf_counter()
         xj, yj = self.sharded.shard_inputs(xb, yb)
         out = self.sharded(xj, yj)
         dispatch_ms = (time.perf_counter() - t_dev0) * 1e3
@@ -1028,6 +1054,13 @@ class RadarRuntime:
                           f"(batch of {len(windows)}{tag})", flush=True)
                 self.n_cpis_done += len(windows)
                 windows, stamps, extracts = [], [], []
+                if self.recycle_every_cpis and \
+                        self.n_cpis_done % self.recycle_every_cpis < \
+                        self.cpi_batch:
+                    dt = self.recycle_transport()  # flushes pending batch
+                    if not quiet:
+                        print(f"[recycle] transport recycled in {dt:.1f} s "
+                              f"(CPI {self.n_cpis_done})", flush=True)
             # Drain the deferred batch so every processed CPI emits.
             self._flush_pending_batch()
             return
@@ -1061,7 +1094,11 @@ class RadarRuntime:
             if res is not None:
                 # Synchronous emission: finish this CPI's timing product
                 # before any recycle below (a recycled CPI must not lose
-                # its timing/timestamp).
+                # its timing/timestamp). 'latency' is emitted on EVERY
+                # single-chip doc (not just deferred ones) so the
+                # TimingStash per-key series stay index-aligned.
+                self.timer.record("latency",
+                                  float(max(0, _now_ms() - t0)))
                 cpi_ms = self.timer.finish_cpi()
                 if not quiet:
                     print(f"CPI time (ms): {cpi_ms:.1f}", flush=True)

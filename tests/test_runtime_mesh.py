@@ -94,3 +94,36 @@ def test_mesh_runtime_loop_batches(mesh):
     rt.run(n_cpis=4, quiet=True)
     assert rt.n_cpis_done == 4
     assert len(seen) == 4  # one timestamp broadcast per CPI, batched 2+2
+
+
+def test_mesh_transport_recycle_rebuilds_sharded(mesh):
+    """recycle_transport on a mesh runtime must flush the deferred batch
+    and rebuild the sharded pipeline on the fresh backend (the old Mesh
+    binds dead device objects); the loop keeps producing."""
+    import json
+
+    cfg = _cfg()
+    rt = RadarRuntime(cfg, mesh=mesh, staged_sample_every=0,
+                      recycle_every_cpis=2)
+    maps = []
+    orig = rt._emit
+
+    def spy(product, payload, **kw):
+        if product == "map":
+            maps.append(json.loads(payload))
+        return orig(product, payload, **kw)
+
+    rt._emit = spy
+    n = cfg.n_samples
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            np.complex64)
+        rt.buffer1.push(x)
+        rt.buffer2.push((2.0 * x).astype(np.complex64))
+    old_sharded = rt.sharded
+    rt.run(n_cpis=4, quiet=True)
+    assert rt.sharded is not old_sharded  # rebuilt at the recycle point
+    assert len(maps) == 4
+    assert [m["timestamp"] for m in maps] == sorted(
+        m["timestamp"] for m in maps)
