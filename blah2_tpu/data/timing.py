@@ -65,7 +65,7 @@ class StageTimer:
         self.times_ms: List[float] = []
 
     def start(self) -> None:
-        self.marks_us = [int(self._time.time() * 1e6)]
+        self.marks_us = [int(self._time.perf_counter() * 1e6)]
         self.names = []
         self.times_ms = []
 
@@ -76,7 +76,7 @@ class StageTimer:
     def stage(self, name: str) -> None:
         if not self.marks_us:
             self.start()
-        now = int(self._time.time() * 1e6)
+        now = int(self._time.perf_counter() * 1e6)
         self.times_ms.append((now - self.marks_us[-1]) / 1000.0)
         self.names.append(name)
         self.marks_us.append(now)
@@ -93,7 +93,7 @@ class StageTimer:
 
     def finish_cpi(self) -> float:
         """Close out the CPI: records total 'cpi' time, returns it in ms."""
-        now = int(self._time.time() * 1e6)
+        now = int(self._time.perf_counter() * 1e6)
         delta_ms = (now - self.marks_us[0]) / 1000.0
         self.names.append("cpi")
         self.times_ms.append(delta_ms)

@@ -99,6 +99,9 @@ class WienerHopfFilter:
             # and the wrap term is a tiny (nb-point) correlation of the head
             # of u against the tail of v.
             m = self.nfft_corr
+            # Two separate m-point transforms: a batched (2, m) FFT pair
+            # measured ~0.5 ms SLOWER than the separate calls on v5e
+            # (probed round 4) — XLA's batched FFT does not win here.
             xf = jnp.fft.fft(xs, n=m)
             yf = jnp.fft.fft(y, n=m)
             a_lin = jnp.fft.ifft(xf * jnp.conj(xf))[:nb]
@@ -144,9 +147,13 @@ class WienerHopfFilter:
         ok = jnp.all(jnp.isfinite(w.real) & jnp.isfinite(w.imag))
         w = jnp.where(ok, w, jnp.zeros_like(w))
 
-        # FIR apply: y <- y − (w * xs)[:n] by FFT convolution.
+        # FIR apply: y <- y − (w * xs)[:n] by FFT convolution. When the
+        # conv size matches the correlation size (the measured-fast table
+        # usually lands both on the same length), reuse the
+        # correlation-stage spectrum of xs and skip one full-length FFT.
         wf = jnp.fft.fft(w, n=self.nfft_conv)
-        xcf = jnp.fft.fft(xs, n=self.nfft_conv)
+        xcf = xf if self.nfft_conv == self.nfft_corr \
+            else jnp.fft.fft(xs, n=self.nfft_conv)
         filt = jnp.fft.ifft(wf * xcf)[:n]
         y_clean = y - filt
 
