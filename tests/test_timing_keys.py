@@ -116,3 +116,14 @@ def test_mesh_mode_reports_real_extract_and_true_latency():
         # share, and plausibly bounded (< 60 s).
         assert doc["cpi"] >= doc["ambiguity_processing"]
         assert doc["cpi"] < 60_000
+
+
+def test_latency_key_on_every_single_chip_doc():
+    """'latency' must appear on EVERY single-chip timing doc — deferred,
+    synchronous, and staged-sample CPIs alike — or TimingStash's per-key
+    series drift out of index alignment (round-4 review finding)."""
+    rt, timings = _run(5, staged_sample_every=2)
+    assert len(timings) == 5
+    for doc in timings:
+        assert "latency" in doc
+        assert doc["latency"] >= 0.0
