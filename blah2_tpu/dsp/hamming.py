@@ -111,13 +111,19 @@ def next_tpu_fft_size(value: int) -> int:
         return v
     sizes, ms, fast = table
     base_ms = ms.get(v)
-    if base_ms is not None and base_ms <= fast:
+    if base_ms is None:
+        # The heuristic pick is unmeasured: no evidence it is slow, so the
+        # cache-stability policy ("table only wins at >=1.65x measured
+        # improvement") keeps it. Overriding on faith would move compiled
+        # program geometry without measurement.
+        return v
+    if base_ms <= fast:
         return v
     limit = int(value * 1.35)
     cands = [m for m in sizes if value < m <= limit and ms[m] <= fast]
     if not cands:
         return v
     best = min(cands)
-    if base_ms is not None and ms[best] > 0.6 * base_ms:
+    if ms[best] > 0.6 * base_ms:
         return v  # not decisively better than the (measured) heuristic pick
     return best

@@ -145,12 +145,31 @@ class _IngestHandler(socketserver.BaseRequestHandler):
                     # Trailing partial document (or '}' inside a string)
                     # — keep accumulating. If the buffer has grown far
                     # beyond any real product, the head is a poisoned
-                    # document that will never parse: drop it to the
-                    # next '{' so the stream resynchronises.
+                    # document that will never parse: resynchronise in ONE
+                    # pass by scanning forward for a '{' where a document
+                    # actually parses (stepping one brace per MAX_BUF
+                    # refill would cost 32 MB of buffering per '{'
+                    # embedded in the bad document's string literals).
                     if len(buf) - idx > self.MAX_BUF:
-                        nxt = buf.find("{", idx + 1)
-                        idx = nxt if nxt > 0 else len(buf)
-                        continue
+                        scan = buf.find("{", idx + 1)
+                        recovered = False
+                        while scan != -1:
+                            try:
+                                doc, end = decoder.raw_decode(buf, scan)
+                            except ValueError:
+                                scan = buf.find("{", scan + 1)
+                                continue
+                            state.publish(product, buf[scan:end], parsed=doc)
+                            idx = end
+                            recovered = True
+                            break
+                        if recovered:
+                            continue
+                        # Nothing in the buffer parses: drop the poisoned
+                        # head, keeping only the tail from the last '{'
+                        # (a possible document still mid-transfer).
+                        last = buf.rfind("{")
+                        idx = last if last > idx else len(buf)
                     break
                 state.publish(product, buf[idx:end], parsed=doc)
                 idx = end

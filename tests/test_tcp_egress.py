@@ -197,6 +197,46 @@ def test_ingest_resyncs_after_poisoned_prefix(monkeypatch):
         srv.server_close()
 
 
+def test_ingest_resync_is_one_pass_despite_embedded_braces(monkeypatch):
+    """Recovery from a poisoned head whose string literals contain many
+    '{' characters must complete in ONE resync pass: stepping one brace
+    per MAX_BUF refill would cost a full buffer of data per embedded
+    brace before the stream recovered (advisor finding, r4)."""
+    import socket
+    import threading
+
+    from blah2_tpu.net.api import ApiState, _IngestHandler, _IngestServer
+
+    monkeypatch.setattr(_IngestHandler, "MAX_BUF", 64)
+    state = ApiState()
+    srv = _IngestServer(("127.0.0.1", 0), "detection", state)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def wait_value(want, timeout=5.0):
+        deadline = time.monotonic() + timeout
+        while state.get("detection") != want:
+            if time.monotonic() > deadline:
+                return False
+            time.sleep(0.01)
+        return True
+
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        # Unterminated string with 12 embedded '{' — never parseable.
+        poisoned = '{"bad": "' + "{" * 12 + "x"
+        good = json.dumps({"timestamp": 7, "delay": [7.0], "pad": "y" * 80})
+        # One send that takes the buffer past MAX_BUF: the good document
+        # must publish without any further data arriving (the old
+        # brace-at-a-time resync would need ~12 more MAX_BUF refills).
+        s.sendall((poisoned + good).encode())
+        assert wait_value(good)
+        s.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_standalone_api_serves_config_and_web(tcp_topology):
     def get(path):
         with urllib.request.urlopen(

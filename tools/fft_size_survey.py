@@ -64,19 +64,38 @@ def main() -> None:
             best.append((time.perf_counter() - t0) * 1e3)
         return float(np.median(best))
 
-    rt = timed(null, (jnp.zeros(8, jnp.float32),), 1)
-    print(f"null round trip {rt:.2f} ms", flush=True)
+    zeros8 = jnp.zeros(8, jnp.float32)
+    np.asarray(null(zeros8))
+    print(f"null round trip {timed(null, (zeros8,), 1):.2f} ms", flush=True)
 
     rng = np.random.default_rng(0)
     measured: dict = {}
+    suspect: list = []
 
     def measure(m: int) -> float:
+        # The tunnel is multi-tenant: a single upfront round-trip baseline
+        # can come from a throttled minute and zero out later measurements.
+        # Re-measure the null round trip ADJACENT to each size, and treat a
+        # clamped-to-zero result as suspect: retry, then fall back to the
+        # unsubtracted per-rep time (overstates, so a genuinely slow size can
+        # never be recorded as fast by a bad baseline).
         if m in measured:
             return measured[m]
         x = jax.device_put(rng.standard_normal(m).astype(np.float32))
         f = jax.jit(lambda a: jnp.abs(jnp.fft.fft(jax.lax.complex(a, a))))
         np.asarray(f(x)[:1])  # compile
-        ms = max(0.0, timed(f, (x,)) - rt) / 8
+        ms = None
+        for _attempt in range(3):
+            rt = timed(null, (zeros8,), 1)
+            t = timed(f, (x,))
+            if t > rt:
+                ms = (t - rt) / 8
+                break
+        if ms is None:
+            ms = t / 8  # baseline never resolved: keep the raw (conservative) time
+            suspect.append(m)
+            print(f"  {m}: SUSPECT (timed <= round trip after retries), "
+                  f"recording raw {ms:.3f} ms", flush=True)
         measured[m] = round(ms, 3)
         print(f"  {m}: {measured[m]} ms", flush=True)
         return measured[m]
@@ -96,6 +115,7 @@ def main() -> None:
                 "queued-execution protocol, tunnel round trip excluded",
         "fast_threshold_ms": FAST_MS_ABS,
         "sizes_ms": {str(k): v for k, v in sorted(measured.items())},
+        "suspect_sizes": sorted(suspect),
     }
     path = _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
