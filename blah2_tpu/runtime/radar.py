@@ -765,7 +765,7 @@ class RadarRuntime:
             return None
         fetched, fetch_ms = self._fetch_batch(out)
         return self._emit_batch(fetched, stamps, list(extract_ms or []),
-                                dispatch_ms + fetch_ms)
+                                dispatch_ms, wire_ms=fetch_ms)
 
     @staticmethod
     def _fetch_batch(out):
@@ -795,25 +795,43 @@ class RadarRuntime:
         out_dev, stamps, extract_ms, dispatch_ms = pending
         fetched, fetch_ms = self._fetch_batch(out_dev)
         return self._emit_batch(fetched, stamps, extract_ms,
-                                dispatch_ms + fetch_ms)
+                                dispatch_ms, wire_ms=fetch_ms)
 
-    def _emit_batch(self, out, stamps, extract_ms, device_ms) -> list:
-        """Per-CPI product emission for one fetched mesh batch."""
+    def _emit_batch(self, out, stamps, extract_ms, device_ms,
+                    wire_ms: float = 0.0) -> list:
+        """Per-CPI product emission for one fetched mesh batch.
+
+        Key-set contract: mesh docs carry the SAME keys as single-chip
+        docs (every reference stage key plus ``wire_transfer`` and
+        ``latency``), so a ``TimingStash`` fed by a mesh deployment
+        produces identically-shaped series as the single-chip console
+        expects. The batch's dispatch wall is amortized per CPI under
+        ``ambiguity_processing`` (one sharded program — no internal stage
+        boundaries; spectrum/clutter/detector report 0 like an unsampled
+        single-chip CPI), the measured fetch wall goes under
+        ``wire_transfer``, and ``latency`` duplicates ``cpi`` (mesh
+        ``cpi`` is already true product latency: emission − extraction)."""
         import jax
 
         n_batch = len(stamps)
         results = []
         for i in range(n_batch):
             out_i = jax.tree.map(lambda a: a[i], out)
-            self.timer.start()
-            emitted = self._emit_products(out_i, stamps[i])
-            names = ["extract_buffer", "ambiguity_processing"] + \
-                self.timer.names
-            times = [extract_ms[i] if i < len(extract_ms) else 0.0,
-                     device_ms / n_batch] + self.timer.times_ms
-            names.append("cpi")
-            times.append(float(_now_ms() - stamps[i]))
-            self._emit_timing(stamps[i], times, names)
+            st = StageTimer()
+            st.start()
+            st.record("extract_buffer",
+                      extract_ms[i] if i < len(extract_ms) else 0.0)
+            st.record("spectrum", 0.0)
+            st.record("clutter_filter", 0.0)
+            st.record("ambiguity_processing", device_ms / n_batch)
+            st.record("detector", 0.0)
+            emitted = self._emit_products(out_i, stamps[i], timer=st)
+            st.record("wire_transfer", wire_ms / n_batch)
+            latency = float(max(0, _now_ms() - stamps[i]))
+            st.record("latency", latency)
+            st.names.append("cpi")
+            st.times_ms.append(latency)
+            self._emit_timing(stamps[i], st.times_ms, st.names)
             self._emit("timestamp", str(stamps[i]))
             results.append(emitted)
         return results

@@ -55,6 +55,26 @@ def test_defaults():
     assert cfg.n_samples == 1_500_000
 
 
+def test_site_config_exercises_non_default_ports_truth_save():
+    """`config/config-site.yml` is the production-site variant (analog of
+    the reference's live-instance `config/radar4.yml`): every network port
+    is non-default, ADS-B truth is enabled, saving is on to a non-default
+    absolute path, and the tracker runs Kalman smoothing — so the shipped
+    config set exercises the port/truth/save plumbing, not only defaults."""
+    cfg = load_config(os.path.join(os.path.dirname(__file__), os.pardir,
+                                   "config", "config-site.yml"))
+    assert cfg.network.api == 3100
+    assert cfg.network.map == 3101 and cfg.network.track == 3103
+    assert cfg.network.timestamp == 4100 and cfg.network.iqdata == 4102
+    assert (cfg.truth or {}).get("adsb", {}).get("enabled") is True
+    assert cfg.save.iq and cfg.save.detection and cfg.save.timing
+    assert not cfg.save.map
+    assert cfg.save.path == "/blah2/save/"
+    assert cfg.process.tracker.enable
+    assert cfg.process.tracker.smooth == "kalman"
+    assert cfg.process.data.cpi == 0.5 and cfg.process.data.buffer == 1.5
+
+
 @pytest.mark.skipif(not os.path.isdir(REFERENCE_CONFIG_DIR),
                     reason="reference configs not mounted")
 @pytest.mark.parametrize("name", ["config.yml", "config-usrp.yml",

