@@ -147,13 +147,31 @@ def main() -> None:
     out_q = pipe._fn_quad12(dev_bufs[0])  # warm
     np.asarray(out_q.noise_power)
 
-    def dev_queue_s() -> float:
+    # The queued wall includes exactly ONE fixed dispatch+fetch round trip
+    # (the final force) — at depth 16 that is ~1.5 ms/CPI of pure
+    # transport, which is precisely the r4 "5.24 vs 3.72 ms" gap between
+    # this loop and the rt-subtracting stage probe
+    # (tools/probe_stage_compute.py). Measure the null round trip adjacent
+    # to each trial and subtract it, keeping the raw wall in detail.
+    import jax.numpy as _jnp
+
+    _null = jax.jit(lambda v: v + 1.0)
+    np.asarray(_null(_jnp.zeros(8, _jnp.float32)))  # compile
+
+    def _null_rt_s() -> float:
+        t0 = time.perf_counter()
+        np.asarray(_null(_jnp.zeros(8, _jnp.float32))[:1])
+        return time.perf_counter() - t0
+
+    def dev_queue_s() -> tuple:
+        rt_s = _null_rt_s()
         t0 = time.perf_counter()
         o = None
         for k in range(n_queue):
             o = pipe._fn_quad12(dev_bufs[k % n_buf])
         np.asarray(o.noise_power)
-        return (time.perf_counter() - t0) / n_queue
+        wall = time.perf_counter() - t0
+        return max(0.0, wall - rt_s) / n_queue, wall / n_queue
 
     # In-run wire floor: a raw timed put of one CPI's packed payload,
     # measured next to each group, so wall can be audited against the
@@ -185,7 +203,8 @@ def main() -> None:
         if g < n_groups - 1:
             time.sleep(12.0)
 
-    dev_cpi_s = min(dev_trials)
+    dev_cpi_s = min(t for t, _ in dev_trials)
+    dev_cpi_raw_s = min(raw for _, raw in dev_trials)
     flops_per_cpi = None
     mfu_pct = None
     try:
@@ -197,7 +216,9 @@ def main() -> None:
         pass
     device_resident = {
         "cpi_ms": round(1e3 * dev_cpi_s, 2),
-        "cpi_ms_trials": [round(1e3 * t, 2) for t in dev_trials],
+        "cpi_ms_incl_round_trip": round(1e3 * dev_cpi_raw_s, 2),
+        "round_trip_share_ms": round(1e3 * (dev_cpi_raw_s - dev_cpi_s), 2),
+        "cpi_ms_trials": [round(1e3 * t, 2) for t, _ in dev_trials],
         "msamples_per_s": round(n / dev_cpi_s / 1e6, 1),
         "vs_realtime_rate": round(n / dev_cpi_s / 2e6, 1),
         "flops_per_cpi": flops_per_cpi,

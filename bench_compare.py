@@ -49,6 +49,42 @@ def _best_ms(f, reps: int) -> float:
     return min(r)
 
 
+def _make_queued_timer(reps: int, n_rep: int):
+    """Queued device-compute timer (tools/probe_stage_compute.py protocol):
+    dispatch ``n_rep`` async executions over RESIDENT inputs, force only
+    the last, subtract an adjacently-measured null round trip, divide by
+    ``n_rep``; best of ``reps`` trials. On the tunneled chip a single
+    synchronous call carries a ~24 ms fixed dispatch+fetch round trip —
+    r4's comparison rows mostly measured that, not the algorithms
+    (VERDICT r4 weak #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    null = jax.jit(lambda v: v + 1.0)
+    z8 = jnp.zeros(8, jnp.float32)
+    np.asarray(null(z8))  # compile
+
+    def null_rt_ms() -> float:
+        t0 = time.perf_counter()
+        np.asarray(null(z8)[:1])
+        return (time.perf_counter() - t0) * 1e3
+
+    def timer(dispatch, force) -> float:
+        trials = []
+        for _ in range(reps):
+            rt = null_rt_ms()
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(n_rep):
+                o = dispatch()
+            force(o)
+            wall = (time.perf_counter() - t0) * 1e3
+            trials.append(max(0.0, wall - rt) / n_rep)
+        return min(trials)
+
+    return timer
+
+
 def _scene(n: int, fs: float, seed: int = 0):
     rng = np.random.default_rng(seed)
     x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
@@ -109,6 +145,13 @@ def main(argv=None) -> None:
     n, fs = cfg.n_samples, cfg.capture.fs
     x, y = _scene(n, fs)
     reps = args.reps
+    # Device-compute rows use the queued protocol so they report device
+    # milliseconds, not per-call transport round trips.
+    n_queue = 8
+    queued = _make_queued_timer(reps, n_queue)
+    QUEUED_NOTE = (f"queued device-resident protocol (depth {n_queue}, "
+                   "adjacent null round trip subtracted)")
+    WIRE_NOTE = "synchronous wall (the transfer path IS the subject)"
 
     results = []
 
@@ -135,11 +178,12 @@ def main(argv=None) -> None:
         np.asarray(ok)
         p = np.asarray(yf)
         outs[mode] = p[:, 0] + 1j * p[:, 1]
-        wall = _best_ms(lambda: np.asarray(run(xp, yp)[1]), reps)
-        variants.append({"name": mode, "wall_ms": round(wall, 2)})
+        wall = queued(lambda: run(xp, yp), lambda o: np.asarray(o[1]))
+        variants.append({"name": mode, "device_ms": round(wall, 2)})
     denom = float(np.linalg.norm(outs["circular"])) or 1.0
     results.append({
         "comparison": "clutter_wiener_hopf",
+        "protocol": QUEUED_NOTE,
         "variants": variants,
         "agreement": {"rel_l2_diff": round(float(
             np.linalg.norm(outs["circular"] - outs["linear"])) / denom, 6)},
@@ -175,13 +219,14 @@ def main(argv=None) -> None:
         np.asarray(ok)
         p = np.asarray(yf)
         resid = float(np.sum(np.abs(p[:, 0] + 1j * p[:, 1]) ** 2))
-        wall = _best_ms(lambda: np.asarray(run(xp, yp)[1]), reps)
+        wall = queued(lambda: run(xp, yp), lambda o: np.asarray(o[1]))
         variants.append({
-            "name": name, "wall_ms": round(wall, 2),
+            "name": name, "device_ms": round(wall, 2),
             "suppression_db": round(10 * np.log10(e_in / max(resid, 1e-30)),
                                     2)})
     results.append({
         "comparison": "clutter_canceller_algorithm",
+        "protocol": QUEUED_NOTE,
         "variants": variants,
     })
 
@@ -198,12 +243,19 @@ def main(argv=None) -> None:
         v = np.asarray(out.detections.valid)
         dets[name] = set(zip(np.asarray(out.detections.row)[v].tolist(),
                              np.asarray(out.detections.col)[v].tolist()))
-        wall = _best_ms(lambda: np.asarray(pipe(x, y).noise_power), reps)
-        variants.append({"name": name, "wall_ms": round(wall, 2),
+        # Resident planes: the full fused pipeline per variant, measured
+        # as device compute (the wire is not the subject here).
+        xpd = jax.device_put(np.asarray(pipe.to_planes(x)))
+        ypd = jax.device_put(np.asarray(pipe.to_planes(y)))
+        jax.block_until_ready((xpd, ypd))
+        wall = queued(lambda: pipe._fn(xpd, ypd),
+                      lambda o: np.asarray(o.noise_power))
+        variants.append({"name": name, "device_ms": round(wall, 2),
                          "n_detections": int(v.sum())})
     both = dets["pallas_fused"] & dets["xla_ops"]
     results.append({
         "comparison": "detection_kernel",
+        "protocol": QUEUED_NOTE + "; full fused pipeline per variant",
         "variants": variants,
         "agreement": {
             "common_cells": len(both),
@@ -241,12 +293,14 @@ def main(argv=None) -> None:
         v = np.asarray(out.valid)
         cells[name] = set(zip(np.asarray(out.row)[v].tolist(),
                               np.asarray(out.col)[v].tolist()))
-        wall = _best_ms(lambda: np.asarray(run(z, noisez).count), reps)
-        variants.append({"name": name, "wall_ms": round(wall, 2),
+        wall = queued(lambda: run(z, noisez),
+                      lambda o: np.asarray(o.count))
+        variants.append({"name": name, "device_ms": round(wall, 2),
                          "n_detections": int(v.sum())})
     both = cells["ca_cfar"] & cells["os_cfar_rank0.75"]
     results.append({
         "comparison": "cfar_algorithm",
+        "protocol": QUEUED_NOTE,
         "variants": variants,
         "agreement": {
             "common_cells": len(both),
@@ -271,11 +325,12 @@ def main(argv=None) -> None:
         run = jax.jit(lambda a, s=size: jnp.sum(jnp.abs(jnp.fft.fft(
             jax.lax.complex(a[..., 0], a[..., 1]), n=s, axis=-1)) ** 2))
         np.asarray(run(pd))
-        wall = _best_ms(lambda: np.asarray(run(pd)), reps)
+        wall = queued(lambda: run(pd), lambda o: np.asarray(o))
         variants.append({"name": name, "nfft": int(size),
-                         "wall_ms": round(wall, 2)})
+                         "device_ms": round(wall, 2)})
     results.append({
         "comparison": "fft_size",
+        "protocol": QUEUED_NOTE,
         "variants": variants,
         "agreement": {"note": "identical lags either way; sizes differ"},
     })
@@ -310,6 +365,7 @@ def main(argv=None) -> None:
     b = np.asarray(pipe.call_chunks(xc, yc).db_map)
     results.append({
         "comparison": "ingest_path",
+        "protocol": WIRE_NOTE,
         "variants": variants,
         "agreement": {"db_map_identical": bool(np.array_equal(a, b))},
     })
@@ -345,6 +401,7 @@ def main(argv=None) -> None:
     b = np.asarray(pipe.call_quad12(packed).db_map)
     results.append({
         "comparison": "wire_format",
+        "protocol": WIRE_NOTE,
         "variants": variants,
         "agreement": {"db_map_identical_int16_vs_packed":
                       bool(np.array_equal(a, b))},
@@ -366,23 +423,26 @@ def main(argv=None) -> None:
             pipe_sub = None
     if pipe_sub is not None and pipe_sub.sub_spectra_fn is not None:
         xpl = np.stack([x.real, x.imag], -1).astype(np.float32)
-        full_db = np.asarray(pipe_sub.stage_spectrum(xpl))
-        sub_db = np.asarray(pipe_sub.sub_spectra_fn(xpl))
+        xpl_dev = jax.device_put(xpl)
+        jax.block_until_ready(xpl_dev)
+        full_db = np.asarray(pipe_sub.stage_spectrum(xpl_dev))
+        sub_db = np.asarray(pipe_sub.sub_spectra_fn(xpl_dev))
         variants = [
             {"name": "full_cpi", "rows_per_cpi": 1,
-             "wall_ms": round(_best_ms(
-                 lambda: np.asarray(pipe_sub.stage_spectrum(xpl)[:1]),
-                 reps), 2)},
+             "device_ms": round(queued(
+                 lambda: pipe_sub.stage_spectrum(xpl_dev),
+                 lambda o: np.asarray(o[:1])), 2)},
             {"name": f"sub_cpi_x{k_sub}", "rows_per_cpi": k_sub,
-             "wall_ms": round(_best_ms(
-                 lambda: np.asarray(pipe_sub.sub_spectra_fn(xpl)[:1, :1]),
-                 reps), 2)},
+             "device_ms": round(queued(
+                 lambda: pipe_sub.sub_spectra_fn(xpl_dev),
+                 lambda o: np.asarray(o[:1, :1])), 2)},
         ]
         mean_sub = 10.0 * np.log10(
             np.mean(10.0 ** (sub_db / 10.0), axis=0))
         gap = np.abs(mean_sub - full_db)
         results.append({
             "comparison": "spectrum_nsub",
+            "protocol": QUEUED_NOTE,
             "variants": variants,
             "agreement": {
                 "median_abs_db_gap_full_vs_mean_sub":
