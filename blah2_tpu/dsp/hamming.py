@@ -77,7 +77,15 @@ def _fft_table():
 
 
 def next_tpu_fft_size(value: int) -> int:
-    """Smallest TPU-compiler-and-performance-safe FFT length > ``value``.
+    """Smallest TPU-compiler-and-performance-safe FFT length >= ``value``.
+
+    INCLUSIVE, unlike the reference's ``next_hamming``: an FFT length
+    that is already TPU-fast is kept. The strictly-greater semantics
+    bumped an already-good size to the next lattice point, which can be
+    structurally worse — the r4 scaling calibration's non-monotone P=8
+    point traced to exactly this: nfft=10240 (2^11*5) was bumped to
+    10368 (2^7*3^4), whose weak power-of-2 factor costs ~3x at the
+    37-row batch (measured on-chip, r5).
 
     Empirically (probed on v5e via the XLA TPU compiler and timed on chip):
       - large FFTs need a sufficient power-of-2 factor to COMPILE: 2·3⁵·5⁵
@@ -99,7 +107,7 @@ def next_tpu_fft_size(value: int) -> int:
     or offers no ≥1.65× improvement (program-cache stability: a marginal
     table win must not invalidate compiled geometries).
     """
-    v = value
+    v = value - 1  # inclusive: next_hamming is strictly-greater
     while True:
         v = next_hamming(v)
         if v <= 1024 or v % 128 == 0:
@@ -120,7 +128,7 @@ def next_tpu_fft_size(value: int) -> int:
     if base_ms <= fast:
         return v
     limit = int(value * 1.35)
-    cands = [m for m in sizes if value < m <= limit and ms[m] <= fast]
+    cands = [m for m in sizes if value <= m <= limit and ms[m] <= fast]
     if not cands:
         return v
     best = min(cands)

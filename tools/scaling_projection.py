@@ -61,10 +61,32 @@ ICI_BW = 4.5e10
 ICI_LAT = 5e-6
 T_FIX = 2e-4
 
+# Sensitivity corners (VERDICT r4 weak #5: point estimates on one guess
+# carry no band). Pessimistic = ICI bandwidth halved AND latency 10x;
+# optimistic = bandwidth doubled, latency nominal.
+CORNERS = {
+    "nominal": (1.0, 1.0),
+    "pessimistic_bw/2_lat_x10": (0.5, 10.0),
+    "optimistic_bw_x2": (2.0, 1.0),
+}
+
+# 2-host DCN assumptions (conservative public-hardware figures): one
+# 100 Gbps NIC per host effective for collectives, 50 us per collective.
+DCN_BW = 1.25e10
+DCN_LAT = 5e-5
+
 # Mesh cells to project: (cpi, pulse). N = c*p up to 8 (one v5e host's
 # slice); the shapes match MULTICHIP/dryrun coverage.
 CELLS = [(1, 1), (2, 1), (1, 2), (2, 2), (4, 1), (1, 4), (4, 2), (2, 4),
          (8, 1), (1, 8)]
+
+# Two-host cells (16 chips): (cpi, pulse, crossing). "cpi" crossing =
+# the batch axis spans hosts (the DESIGNED deployment: designed per-CPI
+# collectives all ride the pulse axis inside a host; DCN carries only
+# product egress). "pulse" crossing = the pulse ring itself crosses DCN
+# (the anti-pattern cell, charged at DCN bandwidth/latency) — shown to
+# quantify WHY the config keeps the pulse axis within a host.
+DCN_CELLS = [(2, 8, "cpi"), (16, 1, "cpi"), (1, 16, "pulse")]
 
 
 def comm_model(cfg, pipe, c_axis: int, p_axis: int) -> dict:
@@ -159,8 +181,11 @@ def measure_rank_compute(p_values, n_rep: int = 10) -> dict:
         wall = timed(pipe._fn, (xp, yp), lambda o: o.noise_power, n_rep)
         out["per_rank_fused_ms"][P] = round(
             max(0.0, wall - rt) / n_rep, 3)
-        print(f"P={P}: n={n} fused {out['per_rank_fused_ms'][P]} ms",
-              flush=True)
+        out.setdefault("per_rank_geometry", {})[P] = {
+            "n": n, "n_doppler": pipe.ambiguity.n_doppler_bins,
+            "nfft_compute": pipe.ambiguity.nfft_compute}
+        print(f"P={P}: n={n} nfft={pipe.ambiguity.nfft_compute} "
+              f"fused {out['per_rank_fused_ms'][P]} ms", flush=True)
     return out
 
 
@@ -170,7 +195,7 @@ def main() -> None:
                     help="measure per-rank compute on the real chip "
                          "(otherwise: PROBE_STAGE_r03 t1 with ideal 1/P "
                          "split, flagged as unmeasured)")
-    ap.add_argument("--out", default="SCALING_r04.json")
+    ap.add_argument("--out", default="SCALING_r05.json")
     ap.add_argument("--n-rep", type=int, default=10)
     args = ap.parse_args()
 
@@ -182,7 +207,8 @@ def main() -> None:
         probe = json.load(f)["result"]
     t1_ms = probe["fused_ms"]
 
-    p_values = sorted({p for _, p in CELLS})
+    p_values = sorted({p for _, p in CELLS} |
+                      {p for _, p, _ in DCN_CELLS})
     if args.measure:
         meas = measure_rank_compute(p_values, args.n_rep)
         t_rank_ms = {int(k): v for k, v in meas["per_rank_fused_ms"].items()}
@@ -224,14 +250,11 @@ def main() -> None:
     amb = pipe.ambiguity
     out_gather_est = amb.n_doppler_bins * amb.n_delay_bins * 12
 
-    rows = []
-    for c_axis, p_axis in CELLS:
+    def cell_row(c_axis, p_axis, crossing=None):
         N = c_axis * p_axis
-        if N > 8:
-            continue
         comm = comm_model(cfg, pipe, c_axis, p_axis)
         key = f"{c_axis}x{p_axis}"
-        if key in measured_cells:
+        if crossing is None and key in measured_cells:
             # HLO-audited total for this exact cell (incl. output
             # gathers) — prefer measurement over the model.
             bytes_rank = measured_cells[key]["total_bytes_per_rank"]
@@ -243,22 +266,59 @@ def main() -> None:
                 out_gather_est if N > 1 else 0)
             n_coll = comm["n_collectives"] + (2 if N > 1 else 0)
             src = "analytic+output-estimate"
-        t_comm_s = bytes_rank / ICI_BW + n_coll * ICI_LAT
+        if p_axis not in t_rank_ms:
+            return None
         t_rank_s = t_rank_ms[p_axis] / 1e3
-        t_step_s = t_rank_s + t_comm_s + T_FIX
+        # Per-corner step time: scale the collective-transport terms.
+        effs, steps = {}, {}
+        for corner, (bw_f, lat_f) in CORNERS.items():
+            if crossing == "pulse":
+                # The pulse ring crosses DCN: every collective is gated
+                # by the DCN hop (conservative: full bytes at DCN rate).
+                t_comm = bytes_rank / (DCN_BW * bw_f) + \
+                    n_coll * DCN_LAT * lat_f
+            else:
+                t_comm = bytes_rank / (ICI_BW * bw_f) + \
+                    n_coll * ICI_LAT * lat_f
+                if crossing == "cpi":
+                    # Batch axis across hosts: designed per-CPI
+                    # collectives stay on ICI; DCN carries only product
+                    # egress (~map+dB bytes per host per CPI, charged at
+                    # DCN rate — it overlaps compute in the runtime but
+                    # is charged serially here, conservative).
+                    t_comm += out_gather_est / (DCN_BW * bw_f) + \
+                        DCN_LAT * lat_f
+            t_step = t_rank_s + t_comm + T_FIX
+            steps[corner] = t_step
+            effs[corner] = (t1_ms / 1e3) / (p_axis * t_step)
+        t_step_s = steps["nominal"]
         thr = c_axis * n / t_step_s
-        eff = (t1_ms / 1e3) / (p_axis * t_step_s)
-        rows.append({
-            "mesh": key, "devices": N,
+        return {
+            "mesh": key + (f" ({crossing}-axis across DCN, 2 hosts)"
+                           if crossing else ""),
+            "devices": N,
             "t_rank_ms": round(t_rank_s * 1e3, 3),
-            "t_comm_us": round(t_comm_s * 1e6, 1),
+            "t_comm_us": round((t_step_s - t_rank_s - T_FIX) * 1e6, 1),
             "t_step_ms": round(t_step_s * 1e3, 3),
             "throughput_msps": round(thr / 1e6, 1),
-            "efficiency": round(eff, 3),
+            "efficiency": round(effs["nominal"], 3),
+            "efficiency_corners": {k: round(v, 3) for k, v in effs.items()},
             "comm_bytes_per_rank": int(bytes_rank),
             "comm_bytes_source": src,
             "designed_collective_bytes": comm["bytes_per_rank"],
-        })
+        }
+
+    rows = []
+    for c_axis, p_axis in CELLS:
+        if c_axis * p_axis > 8:
+            continue
+        row = cell_row(c_axis, p_axis)
+        if row:
+            rows.append(row)
+    for c_axis, p_axis, crossing in DCN_CELLS:
+        row = cell_row(c_axis, p_axis, crossing)
+        if row:
+            rows.append(row)
 
     art = {
         "what": "Calibrated multi-chip scaling projection replacing the "
@@ -273,6 +333,11 @@ def main() -> None:
             "ici_bandwidth_bytes_per_s": ICI_BW,
             "ici_latency_s_per_collective": ICI_LAT,
             "t_fix_s_direct_attach_launch": T_FIX,
+            "dcn_bandwidth_bytes_per_s": DCN_BW,
+            "dcn_latency_s_per_collective": DCN_LAT,
+            "sensitivity_corners": {k: {"bw_factor": f[0],
+                                        "latency_factor": f[1]}
+                                    for k, f in CORNERS.items()},
             "notes": [
                 "collectives charged as riding ONE ICI link direction "
                 "(v5e has 4 links/chip; conservative)",
@@ -292,6 +357,10 @@ def main() -> None:
             "criterion": ">=80% scaling efficiency (BASELINE.md)",
             "holds_for": [r["mesh"] for r in rows if r["efficiency"] >= 0.8],
             "fails_for": [r["mesh"] for r in rows if r["efficiency"] < 0.8],
+            "holds_under_pessimistic_corner": [
+                r["mesh"] for r in rows
+                if r["efficiency_corners"][
+                    "pessimistic_bw/2_lat_x10"] >= 0.8],
         },
     }
     out_path = _os.path.join(repo, args.out)
