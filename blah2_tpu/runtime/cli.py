@@ -94,6 +94,15 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
+    # Persistent compile cache: the production answer to a leaky remote
+    # transport is bounded process lifetime + restart (SOAK_r04), which
+    # only stays under the 60 s watchdog staleness bound if a restarted
+    # process loads its programs from cache instead of recompiling
+    # (minutes on remote transports). Honors JAX_COMPILATION_CACHE_DIR.
+    from blah2_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from blah2_tpu.parallel.distributed import maybe_initialize
 
     distributed = maybe_initialize(args.coordinator, args.num_processes,
