@@ -81,11 +81,13 @@ def next_tpu_fft_size(value: int) -> int:
 
     INCLUSIVE, unlike the reference's ``next_hamming``: an FFT length
     that is already TPU-fast is kept. The strictly-greater semantics
-    bumped an already-good size to the next lattice point, which can be
-    structurally worse — the r4 scaling calibration's non-monotone P=8
-    point traced to exactly this: nfft=10240 (2^11*5) was bumped to
-    10368 (2^7*3^4), whose weak power-of-2 factor costs ~3x at the
-    37-row batch (measured on-chip, r5).
+    bumped an already-good size to the next lattice point — e.g. the
+    r4 scaling calibration's P=8 proxy got 10368 (2^7*3^4) instead of
+    its own nfft 10240 (2^11*5). A direct on-chip pair measurement
+    (tools/probe_fft_pair.py, r5) found both sizes equally fast at that
+    batch shape, so the bump was benign THERE — but paying extra padding
+    to reach a structurally weaker factorisation is the wrong default,
+    and in the cliffy >100k regime (768000 vs 1536000) it is 10x wrong.
 
     Empirically (probed on v5e via the XLA TPU compiler and timed on chip):
       - large FFTs need a sufficient power-of-2 factor to COMPILE: 2·3⁵·5⁵
