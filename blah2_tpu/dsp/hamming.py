@@ -127,13 +127,17 @@ def next_tpu_fft_size(value: int) -> int:
         # improvement") keeps it. Overriding on faith would move compiled
         # program geometry without measurement.
         return v
-    if base_ms <= fast:
-        return v
     limit = int(value * 1.35)
-    cands = [m for m in sizes if value <= m <= limit and ms[m] <= fast]
+    cands = [m for m in sizes if value <= m <= limit]
     if not cands:
         return v
-    best = min(cands)
+    best = min(cands, key=lambda m: (ms[m], m))
+    # Override only on a decisive (>=1.65x) MEASURED win — whether or not
+    # the base clears the absolute fast threshold. r5 example: 192000
+    # measures 0.34 ms (under the 0.8 threshold, but 6x slower than
+    # 196608 = 2^16*3); the clutter stage runs ~6 such transforms per
+    # CPI, so "fast enough in absolute terms" still cost ~1.7 ms/CPI in
+    # the P=8 scaling proxy.
     if ms[best] > 0.6 * base_ms:
-        return v  # not decisively better than the (measured) heuristic pick
+        return v
     return best
