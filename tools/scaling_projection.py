@@ -127,7 +127,12 @@ def comm_model(cfg, pipe, c_axis: int, p_axis: int) -> dict:
 
 def measure_rank_compute(p_values, n_rep: int = 10) -> dict:
     """Fused data-resident compute at per-rank geometries n/P (queued
-    protocol, tunnel RTT excluded)."""
+    protocol, adjacently-measured tunnel RTT excluded).
+
+    All P values are measured in INTERLEAVED rounds within the same
+    minutes, so multi-tenant tunnel drift hits every P equally — the r4
+    per-P sequential measurement let one throttled minute skew a single
+    P and with it every efficiency derived from its ratio to t1."""
     import jax
     import jax.numpy as jnp
 
@@ -139,53 +144,66 @@ def measure_rank_compute(p_values, n_rep: int = 10) -> dict:
     from blah2_tpu.dsp.pipeline import CpiPipeline
 
     null = jax.jit(lambda v: v + 1.0)
-    np.asarray(null(jnp.zeros(8, jnp.float32)))
+    z8 = jnp.zeros(8, jnp.float32)
+    np.asarray(null(z8))
 
-    def timed(fn, args, leaf, reps):
-        best = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(reps):
-                out = fn(*args)
-            np.asarray(leaf(out))
-            best.append((time.perf_counter() - t0) * 1e3)
-        return float(np.median(best))
+    def null_rt() -> float:
+        t0 = time.perf_counter()
+        np.asarray(null(z8)[:1])
+        return (time.perf_counter() - t0) * 1e3
 
-    rt = timed(null, (jnp.zeros(8, jnp.float32),), lambda o: o[:1], 1)
-    out = {"round_trip_ms": round(rt, 2), "per_rank_fused_ms": {}}
+    out = {"round_trip_ms": round(null_rt(), 2), "per_rank_fused_ms": {},
+           "per_rank_rounds_ms": {}, "per_rank_geometry": {}}
     base = _default_config()
     fs, cpi = base.capture.fs, base.process.data.cpi
     rng = np.random.default_rng(0)
+
+    # Phase 1: build + warm every per-P program (compiles load from the
+    # persistent cache; a fresh geometry compiles remotely ONCE, outside
+    # the timed rounds).
+    pipes = {}
     for P in p_values:
         cfg = _default_config(fs=fs, cpi=cpi / P)
         # linear (segmented, shard-decomposable) clutter kernels — the
         # ones the sharded per-rank program actually runs. The circular
         # reference-exact mode does one full-length FFT whose size at
-        # n/P can fall off the TPU FFT cliff (measured: 31 ms at
-        # n=750k vs 6.5 ms at n=1.5M) — a proxy artifact the sharded
-        # design never hits, since its segment FFT sizes are
-        # P-independent (next_tpu_fft_size).
+        # n/P can fall off the TPU FFT cliff — a proxy artifact the
+        # sharded design never hits.
         pipe = CpiPipeline(cfg, clutter_mode="linear")
         n = cfg.n_samples
-
-        def planes():
-            c = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
-                 ).astype(np.complex64)
-            return jax.device_put(pipe.to_planes(c, pipe._plane_dtype))
-
-        xp, yp = planes(), planes()
+        c1 = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+              ).astype(np.complex64)
+        c2 = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+              ).astype(np.complex64)
+        xp = jax.device_put(pipe.to_planes(c1, pipe._plane_dtype))
+        yp = jax.device_put(pipe.to_planes(c2, pipe._plane_dtype))
         np.asarray(jnp.ravel(xp)[:1])
-        o = pipe._fn(xp, yp)  # compile (persistent cache)
-        np.asarray(o.noise_power)
-        wall = timed(pipe._fn, (xp, yp), lambda o: o.noise_power, n_rep)
-        out["per_rank_fused_ms"][P] = round(
-            max(0.0, wall - rt) / n_rep, 3)
-        out.setdefault("per_rank_geometry", {})[P] = {
+        np.asarray(pipe._fn(xp, yp).noise_power)  # compile + warm
+        pipes[P] = (pipe, xp, yp)
+        out["per_rank_geometry"][P] = {
             "n": n, "n_doppler": pipe.ambiguity.n_doppler_bins,
-            "nfft_compute": pipe.ambiguity.nfft_compute}
-        print(f"P={P}: n={n} nfft={pipe.ambiguity.nfft_compute} "
-              f"fused {out['per_rank_fused_ms'][P]} ms", flush=True)
+            "nfft_compute": pipe.ambiguity.nfft_compute,
+            "nfft_corr": pipe.clutter.nfft_corr if pipe.clutter else None}
+        print(f"P={P}: n={n} warm", flush=True)
+
+    # Phase 2: interleaved timed rounds.
+    rounds = {P: [] for P in p_values}
+    for _ in range(5):
+        for P in p_values:
+            pipe, xp, yp = pipes[P]
+            rt = null_rt()
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(n_rep):
+                o = pipe._fn(xp, yp)
+            np.asarray(o.noise_power)
+            wall = (time.perf_counter() - t0) * 1e3
+            rounds[P].append(max(0.0, wall - rt) / n_rep)
+    for P in p_values:
+        out["per_rank_fused_ms"][P] = round(float(np.median(rounds[P])), 3)
+        out["per_rank_rounds_ms"][P] = [round(v, 3) for v in rounds[P]]
+        print(f"P={P}: fused {out['per_rank_fused_ms'][P]} ms "
+              f"(rounds {out['per_rank_rounds_ms'][P]})", flush=True)
     return out
 
 
