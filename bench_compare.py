@@ -79,8 +79,12 @@ def _make_queued_timer(reps: int, n_rep: int):
                 o = dispatch()
             force(o)
             wall = (time.perf_counter() - t0) * 1e3
-            trials.append(max(0.0, wall - rt) / n_rep)
-        return min(trials)
+            trials.append((wall - rt) / n_rep)
+        # A throttled minute can inflate the adjacent baseline past the
+        # whole queue wall, driving a trial negative; min() would prefer
+        # exactly those corrupted trials. Median of the positive trials.
+        pos = [t for t in trials if t > 0]
+        return float(np.median(pos)) if pos else 0.0
 
     return timer
 
@@ -146,8 +150,10 @@ def main(argv=None) -> None:
     x, y = _scene(n, fs)
     reps = args.reps
     # Device-compute rows use the queued protocol so they report device
-    # milliseconds, not per-call transport round trips.
-    n_queue = 8
+    # milliseconds, not per-call transport round trips. Depth must keep
+    # n_queue x per-exec well above the ~25 ms round-trip noise or fast
+    # programs clamp to 0 (seen at depth 8 on the full geometry).
+    n_queue = 24 if args.full else 8
     queued = _make_queued_timer(reps, n_queue)
     QUEUED_NOTE = (f"queued device-resident protocol (depth {n_queue}, "
                    "adjacent null round trip subtracted)")
