@@ -85,6 +85,11 @@ class RspDuoSource(Source):
         super().__init__("RspDuo", fs, fc, path)
         self.agc_set_point = int(agc_set_point)
         self.bandwidth_number = int(bandwidth_number)
+        # The reference accepts a scalar gainReduction applied to both
+        # tuners (`config/radar4.yml` uses 59; `config/config.yml` a
+        # 2-list) — broadcast scalars for config-file parity.
+        if isinstance(gain_reduction, (int, float)):
+            gain_reduction = (gain_reduction, gain_reduction)
         self.gain_reduction = [int(g) for g in gain_reduction]
         self.lna_state = int(lna_state)
         self.dab_notch = bool(dab_notch)

