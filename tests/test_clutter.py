@@ -68,3 +68,25 @@ def test_float32_suppression():
     before = float(np.mean(np.abs(y) ** 2))
     after = float(np.mean(np.abs(np.asarray(y2)) ** 2))
     assert 10 * np.log10(before / after) > 20.0
+
+
+def test_segmented_path_matches_monolithic_exactly():
+    """The segmented-transform path (r5: batched ~16k segment FFTs with a
+    shared reference-channel spectrum and overlap-add FIR) must be
+    algebraically identical to the monolithic full-CPI-FFT path in BOTH
+    modes — same correlations, same solve, same first-n linear
+    convolution."""
+    n = 32_768
+    x, y = synthetic_cpi(n, FS, [TargetSpec(7, 23.0, 0.05)],
+                         clutter_amplitude=2.0, noise_amplitude=1e-3,
+                         seed=3)
+    for mode in ("circular", "linear"):
+        filt = WienerHopfFilter(-5, 40, n, dtype=jnp.complex128, mode=mode)
+        assert filt.n_seg > 0, "segmentation must engage at this size"
+        got, ok = filt(jnp.asarray(x), jnp.asarray(y))
+        assert bool(ok)
+        filt.n_seg = 0  # force the monolithic path on the same instance
+        want, ok2 = filt(jnp.asarray(x), jnp.asarray(y))
+        assert bool(ok2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-9, atol=1e-9)
