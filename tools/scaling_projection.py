@@ -186,24 +186,31 @@ def measure_rank_compute(p_values, n_rep: int = 10) -> dict:
             "nfft_corr": pipe.clutter.nfft_corr if pipe.clutter else None}
         print(f"P={P}: n={n} warm", flush=True)
 
-    # Phase 2: interleaved timed rounds.
+    # Phase 2: interleaved timed rounds. Queue depth scales with P so the
+    # timed queue stays well above the ~25 ms round trip even for the
+    # sub-millisecond large-P programs (depth 10 at 0.3 ms/exec = a 3 ms
+    # queue, pure noise against the rt subtraction).
     rounds = {P: [] for P in p_values}
+    depth = {P: min(120, n_rep * max(1, P)) for P in p_values}
     for _ in range(5):
         for P in p_values:
             pipe, xp, yp = pipes[P]
             rt = null_rt()
             t0 = time.perf_counter()
             o = None
-            for _ in range(n_rep):
+            for _ in range(depth[P]):
                 o = pipe._fn(xp, yp)
             np.asarray(o.noise_power)
             wall = (time.perf_counter() - t0) * 1e3
-            rounds[P].append(max(0.0, wall - rt) / n_rep)
+            rounds[P].append((wall - rt) / depth[P])
     for P in p_values:
-        out["per_rank_fused_ms"][P] = round(float(np.median(rounds[P])), 3)
+        pos = [v for v in rounds[P] if v > 0]
+        out["per_rank_fused_ms"][P] = round(
+            float(np.median(pos if pos else rounds[P])), 3)
         out["per_rank_rounds_ms"][P] = [round(v, 3) for v in rounds[P]]
         print(f"P={P}: fused {out['per_rank_fused_ms'][P]} ms "
-              f"(rounds {out['per_rank_rounds_ms'][P]})", flush=True)
+              f"(depth {depth[P]}, rounds {out['per_rank_rounds_ms'][P]})",
+              flush=True)
     return out
 
 
