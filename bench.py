@@ -143,7 +143,11 @@ def main() -> None:
     # conservative denominator).
     dev_bufs = [jax.device_put(b) for b in bufs]
     jax.block_until_ready(dev_bufs)
-    n_queue = 16
+    # Depth must put the queue wall well above the round trip's THROTTLE
+    # VARIANCE (25-100 ms minute to minute), not just its floor: at depth
+    # 16 x 2.4 ms the wall was ~40 ms and a throttled adjacent baseline
+    # produced negative/halved trials (r5).
+    n_queue = 64
     out_q = pipe._fn_quad12(dev_bufs[0])  # warm
     np.asarray(out_q.noise_power)
 
@@ -159,9 +163,14 @@ def main() -> None:
     np.asarray(_null(_jnp.zeros(8, _jnp.float32)))  # compile
 
     def _null_rt_s() -> float:
-        t0 = time.perf_counter()
-        np.asarray(_null(_jnp.zeros(8, _jnp.float32))[:1])
-        return time.perf_counter() - t0
+        # Min of 3: the fixed dispatch+fetch floor. A single sample can
+        # land on a co-tenant burst and overshoot the whole queue wall.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(_null(_jnp.zeros(8, _jnp.float32))[:1])
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     def dev_queue_s() -> tuple:
         rt_s = _null_rt_s()
