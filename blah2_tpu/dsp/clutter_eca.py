@@ -126,12 +126,17 @@ class EcaBFilter:
         xs = _shift_linear(x, self.delay_min)
 
         pad = B * L - n
-        # Zero-extended global reference (zero outside the CPI), offset by
-        # nb−1 so each segment can gather its history/lookahead window.
-        xs_pad = jnp.pad(xs, (nb - 1, pad + nb - 1))
-        base = (jnp.arange(B) * L)[:, None]
-        ext = xs_pad[base + jnp.arange(self.n_ext)[None, :]]   # (B, n_ext)
-        seg = ext[:, nb - 1:nb - 1 + L]                        # (B, L)
+        # History/lookahead-extended segments, built GATHER-FREE from the
+        # (B, L) reshape with rolled neighbour slices (a (B, n_ext) index
+        # -matrix gather measured ~20 ms on v5e at the production CPI —
+        # the same pathology as the r4 Toeplitz index gather, at 3600x
+        # the element count).
+        seg = jnp.pad(xs, (0, pad)).reshape(B, L)              # (B, L)
+        hist = jnp.roll(seg, 1, axis=0)[:, L - (nb - 1):]
+        hist = hist.at[0].set(jnp.zeros(nb - 1, dtype=seg.dtype))
+        ahead = jnp.roll(seg, -1, axis=0)[:, :nb - 1]
+        ahead = ahead.at[B - 1].set(jnp.zeros(nb - 1, dtype=seg.dtype))
+        ext = jnp.concatenate([hist, seg, ahead], axis=-1)     # (B, n_ext)
         yb = jnp.pad(y, (0, pad)).reshape(B, L)
 
         # Batched FFT lag-correlations. c_s[d] = Σ_w s[w]·conj(ext[w+d]):
@@ -233,11 +238,14 @@ class NlmsClutterFilter:
         xs = _shift_linear(x, self.delay_min)
 
         pad = K * L - n
-        # Overlap-save input blocks: block k sees samples [kL-L, kL+L).
-        xs_pad = jnp.concatenate([jnp.zeros(L, xs.dtype),
-                                  jnp.pad(xs, (0, pad))])
-        idx = jnp.arange(K)[:, None] * L + jnp.arange(M)[None, :]
-        X = jnp.fft.fft(xs_pad[idx], axis=-1)          # (K, M), batched
+        # Overlap-save input blocks: block k sees samples [kL-L, kL+L),
+        # built gather-free as [previous block | block] (an index-matrix
+        # gather of K*2L elements is ~10-20 ms on v5e; see EcaBFilter).
+        blocks = jnp.pad(xs, (0, pad)).reshape(K, L)
+        prev = jnp.roll(blocks, 1, axis=0)
+        prev = prev.at[0].set(jnp.zeros(L, dtype=blocks.dtype))
+        X = jnp.fft.fft(jnp.concatenate([prev, blocks], axis=-1),
+                        axis=-1)                        # (K, M), batched
         yk = jnp.pad(y, (0, pad)).reshape(K, L)
 
         real = jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
