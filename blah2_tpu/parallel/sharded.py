@@ -497,10 +497,14 @@ class ShardedCpiPipeline:
         halo_x = shift_from_prev(xs_loc, (W + 1) * L, "pulse",
                                  collective_id=3, **self._halo_kw)
         pad = K * L - self.block_len
-        xs_pad = jnp.concatenate(
-            [halo_x[-L:], xs_loc, jnp.zeros(pad, xs_loc.dtype)])
-        idx = jnp.arange(K)[:, None] * L + jnp.arange(M)[None, :]
-        X = jnp.fft.fft(xs_pad[idx], axis=-1)              # (K, M)
+        # Overlap-save windows [kL-L, kL+L), built gather-free from two
+        # offset reshapes (an index-matrix gather of K*2L elements costs
+        # ~10-20 ms on v5e — see dsp/clutter_eca.py, r5).
+        body = jnp.concatenate([xs_loc, jnp.zeros(pad, xs_loc.dtype)])
+        lead = jnp.concatenate([halo_x[-L:], body[:-L]])
+        X = jnp.fft.fft(jnp.concatenate(
+            [lead.reshape(K, L), body.reshape(K, L)], axis=-1),
+            axis=-1)                                       # (K, M)
         yk = jnp.pad(y_loc, (0, pad)).reshape(K, L)
 
         real = jnp.float32 if self.dtype == jnp.complex64 else jnp.float64
@@ -528,8 +532,9 @@ class ShardedCpiPipeline:
             # converged (w, p) carry into the rank's own blocks.
             halo_y = shift_from_prev(y_loc, W * L, "pulse",
                                      collective_id=4, **self._halo_kw)
-            idx_w = jnp.arange(W)[:, None] * L + jnp.arange(M)[None, :]
-            Xw = jnp.fft.fft(halo_x[idx_w], axis=-1)       # (W, M)
+            Xw = jnp.fft.fft(jnp.concatenate(
+                [halo_x[:-L].reshape(W, L), halo_x[L:].reshape(W, L)],
+                axis=-1), axis=-1)                         # (W, M)
             yw = halo_y.reshape(W, L)
             (w0, p0), _ = jax.lax.scan(step, (w0, p0), (Xw, yw))
 
