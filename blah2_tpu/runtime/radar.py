@@ -526,6 +526,23 @@ class RadarRuntime:
             return False
         return self.n_cpis_done % self.staged_sample_every == 0
 
+    def _null_round_trip_ms(self) -> float:
+        """Fixed dispatch+fetch floor of the device transport (min of 2
+        adjacent samples of a null program)."""
+        import jax
+        import jax.numpy as jnp
+
+        if getattr(self, "_null_fn", None) is None:
+            self._null_fn = jax.jit(lambda v: v + 1.0)
+            np.asarray(self._null_fn(jnp.zeros(8, jnp.float32)))  # compile
+        z = jnp.zeros(8, jnp.float32)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(self._null_fn(z)[:1])
+            best = min(best, (time.perf_counter() - t0) * 1e3)
+        return best
+
     def _run_staged_sample(self, x, y):
         """Run the staged pipeline once, install the measured per-stage
         times and refresh the apportioning sample.
@@ -554,15 +571,26 @@ class RadarRuntime:
         np.asarray(jnp.ravel(xp)[:1])
         np.asarray(jnp.ravel(yp)[:1])
         wire_ms = (time.perf_counter() - t_w) * 1e3
-        self.timer.record("wire_transfer", wire_ms)
 
+        # Each staged mark forces completion with a tiny fetch, which on a
+        # remote transport costs a full ~24 ms round trip per stage —
+        # leaving it inside the stage times biases the apportioning split
+        # toward uniform (four ~24 ms stages instead of the probe's
+        # 0.8/0.6/0.5/0.1 device split). Measure the null round trip
+        # ADJACENT to the sample (min of 2: underestimates under
+        # throttle, so stages are never over-subtracted) and move that
+        # per-mark transport share to ``wire_transfer`` where it belongs.
+        rt_ms = self._null_round_trip_ms()
         st = StageTimer()
         st.start()
         out = p.call_staged(xp, yp, timer=st)
         out = jax.device_get(out)  # batched product fetch (one round trip)
-        for name, ms in zip(st.names, st.times_ms):
+        corrected = [max(0.0, v - rt_ms) for v in st.times_ms]
+        self.timer.record("wire_transfer",
+                          wire_ms + sum(st.times_ms) - sum(corrected))
+        for name, ms in zip(st.names, corrected):
             self.timer.record(name, ms)
-        self._sample_stage_ms = dict(zip(st.names, st.times_ms))
+        self._sample_stage_ms = dict(zip(st.names, corrected))
         if p.sub_spectra_fn is not None:
             # Sub-CPI spectra (fused CPIs compute them inline): computed
             # after the marks so the staged timing stays a pure
