@@ -50,41 +50,23 @@ def _best_ms(f, reps: int) -> float:
 
 
 def _make_queued_timer(reps: int, n_rep: int):
-    """Queued device-compute timer (tools/probe_stage_compute.py protocol):
-    dispatch ``n_rep`` async executions over RESIDENT inputs, force only
-    the last, subtract an adjacently-measured null round trip, divide by
-    ``n_rep``; best of ``reps`` trials. On the tunneled chip a single
-    synchronous call carries a ~24 ms fixed dispatch+fetch round trip —
-    r4's comparison rows mostly measured that, not the algorithms
-    (VERDICT r4 weak #3)."""
-    import jax
-    import jax.numpy as jnp
+    """Queued device-compute timer (blah2_tpu.utils.devtime — the shared
+    protocol: adjacent min-of-3 null baseline, median of positive trials,
+    conservative raw fallback when every trial is baseline-corrupted).
+    On the tunneled chip a single synchronous call carries a ~24 ms fixed
+    dispatch+fetch round trip — r4's comparison rows mostly measured
+    that, not the algorithms (VERDICT r4 weak #3)."""
+    from blah2_tpu.utils.devtime import QueuedTimer
 
-    null = jax.jit(lambda v: v + 1.0)
-    z8 = jnp.zeros(8, jnp.float32)
-    np.asarray(null(z8))  # compile
-
-    def null_rt_ms() -> float:
-        t0 = time.perf_counter()
-        np.asarray(null(z8)[:1])
-        return (time.perf_counter() - t0) * 1e3
+    qt = QueuedTimer()
 
     def timer(dispatch, force) -> float:
-        trials = []
-        for _ in range(reps):
-            rt = null_rt_ms()
-            t0 = time.perf_counter()
-            o = None
-            for _ in range(n_rep):
-                o = dispatch()
-            force(o)
-            wall = (time.perf_counter() - t0) * 1e3
-            trials.append((wall - rt) / n_rep)
-        # A throttled minute can inflate the adjacent baseline past the
-        # whole queue wall, driving a trial negative; min() would prefer
-        # exactly those corrupted trials. Median of the positive trials.
-        pos = [t for t in trials if t > 0]
-        return float(np.median(pos)) if pos else 0.0
+        ms, suspect = qt.measure(dispatch, force, n_rep=n_rep, reps=reps)
+        if suspect:
+            print(f"# suspect measurement: every corrected trial "
+                  f"non-positive; reporting raw upper bound {ms:.3f} ms",
+                  flush=True)
+        return ms
 
     return timer
 
@@ -151,9 +133,10 @@ def main(argv=None) -> None:
     reps = args.reps
     # Device-compute rows use the queued protocol so they report device
     # milliseconds, not per-call transport round trips. Depth must keep
-    # n_queue x per-exec well above the ~25 ms round-trip noise or fast
-    # programs clamp to 0 (seen at depth 8 on the full geometry).
-    n_queue = 24 if args.full else 8
+    # n_queue x per-exec well above the round trip's THROTTLE VARIANCE
+    # (25-100 ms minute to minute), not just its floor — sub-ms variants
+    # at depth 24 produced baseline-noise rows (review r5).
+    n_queue = 96 if args.full else 8
     queued = _make_queued_timer(reps, n_queue)
     QUEUED_NOTE = (f"queued device-resident protocol (depth {n_queue}, "
                    "adjacent null round trip subtracted)")

@@ -151,9 +151,16 @@ class _IngestHandler(socketserver.BaseRequestHandler):
                     # refill would cost 32 MB of buffering per '{'
                     # embedded in the bad document's string literals).
                     if len(buf) - idx > self.MAX_BUF:
+                        # Bounded scan: pathological input (deep nested
+                        # prefixes repeated at every brace) could make an
+                        # uncapped scan O(braces x token length) inside
+                        # this synchronous handler; after the cap, the
+                        # head is dropped wholesale.
                         scan = buf.find("{", idx + 1)
                         recovered = False
-                        while scan != -1:
+                        attempts = 0
+                        while scan != -1 and attempts < 256:
+                            attempts += 1
                             try:
                                 doc, end = decoder.raw_decode(buf, scan)
                             except ValueError:
@@ -165,9 +172,10 @@ class _IngestHandler(socketserver.BaseRequestHandler):
                             break
                         if recovered:
                             continue
-                        # Nothing in the buffer parses: drop the poisoned
-                        # head, keeping only the tail from the last '{'
-                        # (a possible document still mid-transfer).
+                        # Nothing parseable found within the attempt cap:
+                        # drop the poisoned head, keeping only the tail
+                        # from the last '{' (a possible document still
+                        # mid-transfer).
                         last = buf.rfind("{")
                         idx = last if last > idx else len(buf)
                     break

@@ -849,10 +849,9 @@ class RadarRuntime:
             st.start()
             st.record("extract_buffer",
                       extract_ms[i] if i < len(extract_ms) else 0.0)
-            st.record("spectrum", 0.0)
-            st.record("clutter_filter", 0.0)
-            st.record("ambiguity_processing", device_ms / n_batch)
-            st.record("detector", 0.0)
+            for name in self.DEVICE_STAGES:
+                st.record(name, device_ms / n_batch
+                          if name == "ambiguity_processing" else 0.0)
             emitted = self._emit_products(out_i, stamps[i], timer=st)
             st.record("wire_transfer", wire_ms / n_batch)
             latency = float(max(0, _now_ms() - stamps[i]))

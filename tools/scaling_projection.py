@@ -186,16 +186,19 @@ def measure_rank_compute(p_values, n_rep: int = 10) -> dict:
             "nfft_corr": pipe.clutter.nfft_corr if pipe.clutter else None}
         print(f"P={P}: n={n} warm", flush=True)
 
-    # Phase 2: interleaved timed rounds. Queue depth scales with P so the
-    # timed queue stays well above the ~25 ms round trip even for the
-    # sub-millisecond large-P programs (depth 10 at 0.3 ms/exec = a 3 ms
-    # queue, pure noise against the rt subtraction).
+    # Phase 2: interleaved timed rounds. Queue depth scales with P (work
+    # shrinks ~1/P) with a floor of 24, so every P's timed queue sits
+    # well above the round trip's throttle variance; the baseline is the
+    # adjacent min-of-3 floor and non-positive rounds are excluded (all
+    # non-positive -> raw upper bound, flagged suspect) — a negative
+    # per-rank time must never flow silently into the artifact.
     rounds = {P: [] for P in p_values}
-    depth = {P: min(120, n_rep * max(1, P)) for P in p_values}
+    raws = {P: [] for P in p_values}
+    depth = {P: min(120, max(24, n_rep * max(1, P))) for P in p_values}
     for _ in range(5):
         for P in p_values:
             pipe, xp, yp = pipes[P]
-            rt = null_rt()
+            rt = min(null_rt() for _ in range(3))
             t0 = time.perf_counter()
             o = None
             for _ in range(depth[P]):
@@ -203,10 +206,16 @@ def measure_rank_compute(p_values, n_rep: int = 10) -> dict:
             np.asarray(o.noise_power)
             wall = (time.perf_counter() - t0) * 1e3
             rounds[P].append((wall - rt) / depth[P])
+            raws[P].append(wall / depth[P])
+    out["suspect_p"] = []
     for P in p_values:
         pos = [v for v in rounds[P] if v > 0]
-        out["per_rank_fused_ms"][P] = round(
-            float(np.median(pos if pos else rounds[P])), 3)
+        if pos:
+            out["per_rank_fused_ms"][P] = round(float(np.median(pos)), 3)
+        else:
+            out["per_rank_fused_ms"][P] = round(
+                float(np.median(raws[P])), 3)
+            out["suspect_p"].append(P)
         out["per_rank_rounds_ms"][P] = [round(v, 3) for v in rounds[P]]
         print(f"P={P}: fused {out['per_rank_fused_ms'][P]} ms "
               f"(depth {depth[P]}, rounds {out['per_rank_rounds_ms'][P]})",
