@@ -150,3 +150,29 @@ def test_latency_key_on_every_single_chip_doc():
     for doc in timings:
         assert "latency" in doc
         assert doc["latency"] >= 0.0
+
+
+def test_staged_sample_moves_round_trip_to_wire(monkeypatch):
+    """The staged sample subtracts an adjacently-measured null round trip
+    from every stage mark and books the difference under wire_transfer
+    (r5: on remote transports each mark's forced fetch costs ~24 ms of
+    pure transport, which biased the live split toward uniform)."""
+    from blah2_tpu.runtime.radar import RadarRuntime
+
+    fake_rt = 2.0  # ms; far above the CPU's true ~0.05 ms round trip
+    monkeypatch.setattr(RadarRuntime, "_null_round_trip_ms",
+                        lambda self: fake_rt)
+    rt, timings = _run(1, staged_sample_every=1)
+    doc = timings[0]
+    # Sampled absolutes are stored corrected; with an inflated fake rt
+    # every stage loses exactly min(stage_wall, 2 ms) relative to raw,
+    # and the subtracted total lands in wire_transfer (>= 0 always).
+    assert rt._sample_stage_ms is not None
+    for k in ("spectrum", "clutter_filter", "ambiguity_processing",
+              "detector"):
+        assert rt._sample_stage_ms[k] >= 0.0
+    assert doc["wire_transfer"] >= 0.0
+    # The corrected values flow into the doc (serialization rounds).
+    for k in ("spectrum", "clutter_filter", "ambiguity_processing",
+              "detector"):
+        assert abs(doc[k] - rt._sample_stage_ms[k]) < 0.01
